@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Headline benchmark: inverted-index build throughput + BM25 query latency.
+
+Default mode (what the driver runs per round):
+  - corpus: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) adapted to the
+    input-hint shape
+  - master: local[$SPARK_GRAFT_CPUS]
+  - builds the full materialized index (tokenize → staged tf → blocked,
+    varint-compressed postings + doclen/dfreq/stats, with lineage) into a
+    temp dir, then answers the reference query set through the index
+  - prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "build_sec": ..., "docs_per_sec": ..., "query_p95_sec": ...}
+
+``--build-only`` prints just build timing (used by the scaling-efficiency
+protocol in BENCH/BASELINE.md: same input at local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+QUERY_SET = [
+    ("q_hot_single", "the", 10, "or", None),
+    ("q_mid_single", "merge", 10, "or", None),
+    ("q_two_term", "hash join", 10, "or", None),
+    ("q_two_term_and", "hash join", 10, "and", None),
+    ("q_three_term", "window merge sort", 10, "or", None),
+    ("q_four_term", "spark batch stream dup", 10, "or", None),
+    ("q_rare_plus_hot", "the spark", 10, "or", None),
+    ("q_k1", "scan", 1, "or", None),
+    ("q_k100", "the scan", 100, "or", None),
+    ("q_fq_lang", "hash", 10, "or", {"lang": "en"}),
+    ("q_zero_result", "zzz_not_in_corpus", 10, "or", None),
+]
+
+
+def main() -> None:
+    build_only = "--build-only" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from oni_indexer_spark.corpus import from_driver_documents
+    from oni_indexer_spark.index import IndexConfig, build_to_path, read_index
+    from oni_indexer_spark.query import topk
+    from oni_indexer_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = from_driver_documents(spark, sf_dir)
+    n_docs = docs.count()
+    cfg = IndexConfig(block_size=128, n_buckets=32)
+
+    tmp = tempfile.mkdtemp(prefix="oni_index_")
+    path = os.path.join(tmp, "index")
+    try:
+        t0 = time.time()
+        build_to_path(docs, path, cfg, bucket_group_size=32, resume=False)
+        build_sec = time.time() - t0
+        docs_per_sec = n_docs / build_sec
+
+        if build_only:
+            print(
+                json.dumps(
+                    {
+                        "mode": "build-only",
+                        "cpus": cpus,
+                        "sf": sf,
+                        "n_docs": n_docs,
+                        "build_sec": round(build_sec, 3),
+                        "docs_per_sec": round(docs_per_sec, 2),
+                    }
+                )
+            )
+            return
+
+        tables = read_index(spark, path)
+        # warmup (JVM/codegen), not counted
+        topk(tables, "warmup scan", k=5).collect()
+
+        qtimes: dict[str, float] = {}
+        for name, q, k, mode, fq in QUERY_SET:
+            t0 = time.time()
+            topk(tables, q, k=k, mode=mode, fq=fq).collect()
+            qtimes[name] = round(time.time() - t0, 4)
+
+        lat = sorted(qtimes.values())
+        p95 = lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)]
+        total = round(build_sec + sum(qtimes.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_queryset_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": qtimes,
+                    "sf": sf,
+                    "n_docs": n_docs,
+                    "cpus": cpus,
+                    "build_sec": round(build_sec, 3),
+                    "docs_per_sec": round(docs_per_sec, 2),
+                    "query_p95_sec": p95,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

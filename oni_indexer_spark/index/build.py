@@ -1,0 +1,306 @@
+"""Inverted-index build: documents → postings / doclen / dfreq / stats.
+
+The reference posts flat docs to Solr and lets Lucene build the index
+(``oni-indexer.js:256-269``; SURVEY.md §2.C2-C3). This module builds the
+same artifacts natively as Spark tables:
+
+- ``postings(term, bucket, block_id, n, block_max_tfn, blob|plist)``
+- ``doclen(doc_id, repo, path, lang, dl, content_sha256)``  (doc store +
+  length norms + the per-row sha256 invariant from BASELINE.json)
+- ``dfreq(term, df, cf)``  (document frequency / collection frequency)
+- ``stats(n_docs, avgdl)``  (single row)
+
+Scale design (the part Lucene's segment merge does for free and Spark
+must do explicitly):
+
+* **Doc-range blocking defeats hot-term skew.** Postings are grouped by
+  ``(term, block_id)`` where ``block_id = doc_id // block_size``. A
+  stop-word-grade term that appears in every document never concentrates
+  on one reducer: its postings split into ``n_docs / block_size`` groups,
+  each bounded by ``block_size`` entries. This is the explicit skew
+  handling demanded by BASELINE.json's north_rule — the skew key is
+  structural (doc-range salt), not a runtime heuristic, and the blocks
+  double as the WAND pruning unit (block doc-ranges align across terms).
+  AQE skew-join/coalesce stays on as a second line of defence.
+* **Per-block max-score metadata** (``block_max_tfn`` = max over the
+  block of ``tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))``) makes query-time
+  block-max pruning a plain column predicate (query/wand.py), mirroring
+  Lucene 8's block-max WAND.
+* **One tokenize pass.** ``build_to_path`` stages the term-frequency
+  table ``(term, doc_id, tf, dl)`` bucket-partitioned by
+  ``pmod(xxhash64(term), n_buckets)`` — tokenization (the expensive scan
+  over 100 TB of content) runs once; postings/dfreq derive from the
+  staged table with term-pruned reads.
+* **Checkpoint-resume + lineage** (north_rule): every build stage and
+  every postings bucket-group commits a row to ``_lineage`` with metrics
+  (docs tokenized, postings emitted, bytes compressed); a re-run skips
+  stages whose lineage row says ``done`` (index/lineage.py).
+* **Query-side partition pruning**: postings are written
+  ``partitionBy(bucket)`` and sorted by (term, block_id), so a query for
+  3 terms reads 3 directory partitions and skips row groups via min/max
+  stats on ``term``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oni_indexer_spark.analyzer import tokens_col
+from oni_indexer_spark.index import lineage as L
+from oni_indexer_spark.index.codec import encode_postings
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """BM25 + layout parameters. k1/b are the Solr/Lucene defaults the
+    reference relies on (SURVEY.md §2.C4; BASELINE.json pins them)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+    block_size: int = 128
+    n_buckets: int = 32
+    compress: bool = True
+    meta_cols: tuple[str, ...] = ("repo", "path", "lang")
+
+
+class IndexTables(NamedTuple):
+    postings: DataFrame
+    doclen: DataFrame
+    dfreq: DataFrame
+    stats: DataFrame
+    cfg: IndexConfig
+
+
+def term_bucket(term: Column, n_buckets: int) -> Column:
+    """Stable bucket id for a term (partition pruning key)."""
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def _tf_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(term, doc_id, tf, dl, bucket) — one row per distinct (term, doc).
+
+    The groupBy key includes doc_id, so hot terms spread over the full
+    doc space; Catalyst's partial aggregation (map-side combine) keeps
+    the shuffle proportional to distinct (term, doc) pairs, not tokens.
+    """
+    toks = docs.select(
+        "doc_id", tokens_col("content").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    return (
+        toks.groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .withColumn("bucket", term_bucket(F.col("term"), cfg.n_buckets))
+    )
+
+
+def _doclen_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    meta = [c for c in cfg.meta_cols if c in docs.columns]
+    return docs.select(
+        "doc_id",
+        *meta,
+        F.size(tokens_col("content")).alias("dl"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+def _tfn_expr(tf: Column, dl: Column, avgdl: float, cfg: IndexConfig) -> Column:
+    """BM25 term saturation (everything except idf): Lucene's
+    ``tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))``."""
+    k1, b = cfg.k1, cfg.b
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+
+
+_ENCODE_SCHEMA = T.BinaryType()
+
+
+@F.pandas_udf(_ENCODE_SCHEMA)
+def _encode_udf(docs: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.Series:
+    # Arrow-batched: the Python-level loop is per (term, block) row; the
+    # numpy codec is vectorized over the postings inside the row.
+    return pd.Series(
+        [encode_postings(d, t, l) for d, t, l in zip(docs, tfs, dls)],
+        dtype=object,
+    )
+
+
+def _postings_blocks(tf: DataFrame, avgdl: float, cfg: IndexConfig) -> DataFrame:
+    """Group the tf table into doc-range blocks and (optionally) encode."""
+    blocks = (
+        tf.withColumn("block_id", F.floor(F.col("doc_id") / cfg.block_size).cast("long"))
+        .groupBy("term", "bucket", "block_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.max(_tfn_expr(F.col("tf"), F.col("dl"), avgdl, cfg)).alias("block_max_tfn"),
+        )
+    )
+    if not cfg.compress:
+        return blocks
+    return blocks.select(
+        "term",
+        "bucket",
+        "block_id",
+        "n",
+        "block_max_tfn",
+        _encode_udf(
+            F.transform("plist", lambda x: x["doc_id"]),
+            F.transform("plist", lambda x: x["tf"]),
+            F.transform("plist", lambda x: x["dl"]),
+        ).alias("blob"),
+    )
+
+
+def _dfreq_table(tf: DataFrame) -> DataFrame:
+    return tf.groupBy("term", "bucket").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def build_index(docs: DataFrame, cfg: IndexConfig | None = None) -> IndexTables:
+    """In-memory (lazy) index build — no staging, for tests/small corpora.
+
+    ``docs`` must have columns ``doc_id`` (long, unique) and ``content``;
+    metadata columns named in ``cfg.meta_cols`` are carried into doclen.
+    """
+    cfg = cfg or IndexConfig()
+    doclen = _doclen_table(docs, cfg)
+    n_docs, avgdl = _collect_stats(doclen)
+    spark = docs.sparkSession
+    stats = spark.createDataFrame(
+        [(n_docs, avgdl)],
+        T.StructType(
+            [
+                T.StructField("n_docs", T.LongType()),
+                T.StructField("avgdl", T.DoubleType()),
+            ]
+        ),
+    )
+    tf = _tf_table(docs, cfg)
+    return IndexTables(_postings_blocks(tf, avgdl, cfg), doclen, _dfreq_table(tf), stats, cfg)
+
+
+def _collect_stats(doclen: DataFrame) -> tuple[int, float]:
+    row = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def build_to_path(
+    docs: DataFrame,
+    path: str,
+    cfg: IndexConfig | None = None,
+    bucket_group_size: int = 8,
+    resume: bool = True,
+) -> None:
+    """Materialize the index at ``path`` with checkpoint-resume + lineage.
+
+    Stages (each a resumable unit with a lineage row):
+      1. ``doclen`` + ``stats``  (tokenize pass; doc store + norms)
+      2. ``tf`` staged table, bucket-partitioned (the single shuffle over
+         all tokens; tokenization happens exactly once here too — stage 1
+         only computes lengths)
+      3. per bucket-group: postings blocks (+ varint encode) and dfreq,
+         reading only that group's partitions of the staged tf table
+    """
+    cfg = cfg or IndexConfig()
+    spark = docs.sparkSession
+    lin = L.Lineage(spark, path)
+
+    if not (resume and lin.is_done("doclen")):
+        t0 = lin.start("doclen")
+        doclen = _doclen_table(docs, cfg)
+        doclen.repartitionByRange(max(cfg.n_buckets, 1), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/doclen")
+        n_docs, avgdl = _collect_stats(spark.read.parquet(f"{path}/doclen"))
+        spark.createDataFrame([(n_docs, float(avgdl))], "n_docs long, avgdl double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+        lin.finish("doclen", t0, docs_tokenized=n_docs)
+
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    if not (resume and lin.is_done("tf_stage")):
+        t0 = lin.start("tf_stage")
+        tf = _tf_table(docs, cfg)
+        (
+            tf.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/tf_stage")
+        )
+        lin.finish("tf_stage", t0, docs_tokenized=n_docs)
+
+    # Dynamic partition overwrite: each bucket-group's write replaces only
+    # its own bucket=... directories, so a resumed build never clobbers
+    # completed groups and a re-run of a half-written group is idempotent.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tf_staged = spark.read.parquet(f"{path}/tf_stage")
+    groups = [
+        list(range(g, min(g + bucket_group_size, cfg.n_buckets)))
+        for g in range(0, cfg.n_buckets, bucket_group_size)
+    ]
+    for group in groups:
+        stage = f"postings_g{group[0]:04d}"
+        if resume and lin.is_done(stage):
+            continue
+        t0 = lin.start(stage)
+        tf_g = tf_staged.where(F.col("bucket").isin(group))
+        blocks = _postings_blocks(tf_g, avgdl, cfg)
+        (
+            blocks.repartition(len(group), "bucket")
+            .sortWithinPartitions("term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+        _dfreq_table(tf_g).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/dfreq"
+        )
+        written = spark.read.parquet(f"{path}/postings").where(F.col("bucket").isin(group))
+        n_post = int(written.agg(F.sum("n")).collect()[0][0] or 0)
+        n_bytes = 0
+        if cfg.compress:
+            n_bytes = int(written.agg(F.sum(F.length("blob"))).collect()[0][0] or 0)
+        lin.finish(stage, t0, postings_emitted=n_post, bytes_compressed=n_bytes)
+
+    lin.write_meta(
+        {
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "block_size": cfg.block_size,
+            "n_buckets": cfg.n_buckets,
+            "compress": cfg.compress,
+        }
+    )
+
+
+def read_index(spark: SparkSession, path: str) -> IndexTables:
+    meta = L.Lineage(spark, path).read_meta()
+    cfg = IndexConfig(
+        k1=meta["k1"],
+        b=meta["b"],
+        block_size=meta["block_size"],
+        n_buckets=meta["n_buckets"],
+        compress=meta["compress"],
+    )
+    return IndexTables(
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/doclen"),
+        spark.read.parquet(f"{path}/dfreq"),
+        spark.read.parquet(f"{path}/stats"),
+        cfg,
+    )

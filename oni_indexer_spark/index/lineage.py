@@ -1,0 +1,97 @@
+"""Per-stage lineage + checkpoint-resume bookkeeping for index builds.
+
+BASELINE.json's north_rule requires the build to be "resumable from
+checkpoint with per-partition lineage + metrics (docs tokenized, postings
+emitted, bytes compressed)". The reference has only coarse retry knobs
+(``oni-indexer.js:212-234`` Solr ping retries); this is the Spark-native
+equivalent: one durable record per build stage / postings bucket-group,
+written atomically (tmp + rename), so a killed build re-run skips every
+stage whose record says ``done`` (see build.build_to_path).
+
+Records live under ``<index>/_lineage/<stage>.json``. ``as_dataframe``
+exposes them as the lineage table from FIXTURES.md §4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Lineage:
+    def __init__(self, spark: SparkSession, index_path: str):
+        self.spark = spark
+        self.dir = os.path.join(index_path, "_lineage")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _file(self, stage: str) -> str:
+        return os.path.join(self.dir, f"{stage}.json")
+
+    def is_done(self, stage: str) -> bool:
+        f = self._file(stage)
+        if not os.path.exists(f):
+            return False
+        with open(f) as fh:
+            return json.load(fh).get("status") == "done"
+
+    def start(self, stage: str) -> float:
+        t0 = time.time()
+        self._write(stage, {"stage": stage, "status": "running", "started_at": t0})
+        return t0
+
+    def finish(self, stage: str, t0: float, **metrics: int) -> None:
+        rec = {
+            "stage": stage,
+            "status": "done",
+            "started_at": t0,
+            "finished_at": time.time(),
+            "docs_tokenized": int(metrics.get("docs_tokenized", 0)),
+            "postings_emitted": int(metrics.get("postings_emitted", 0)),
+            "bytes_compressed": int(metrics.get("bytes_compressed", 0)),
+        }
+        self._write(stage, rec)
+
+    def _write(self, stage: str, rec: dict) -> None:
+        tmp = self._file(stage) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, self._file(stage))
+
+    def write_meta(self, meta: dict) -> None:
+        tmp = os.path.join(self.dir, "meta.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(self.dir, "meta.json"))
+
+    def read_meta(self) -> dict:
+        with open(os.path.join(self.dir, "meta.json")) as fh:
+            return json.load(fh)
+
+    def records(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.endswith(".json") and name != "meta.json":
+                with open(os.path.join(self.dir, name)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def as_dataframe(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [
+                (
+                    r["stage"],
+                    r["status"],
+                    r.get("docs_tokenized", 0),
+                    r.get("postings_emitted", 0),
+                    r.get("bytes_compressed", 0),
+                    float(r.get("started_at", 0.0)),
+                    float(r.get("finished_at", 0.0)),
+                )
+                for r in self.records()
+            ],
+            "stage string, status string, docs_tokenized long, postings_emitted long,"
+            " bytes_compressed long, started_at double, finished_at double",
+        )

@@ -1,0 +1,278 @@
+"""BM25 top-k retrieval over the materialized index.
+
+Implements natively what the reference delegates to Solr/Lucene
+(SURVEY.md §2.C4-C6): Lucene BM25 with k1=1.2, b=0.75,
+``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``, free-text queries are
+OR-of-terms over ``main_search`` (``config.json:38``,
+``portal_base.json:18-23``); AND (intersection) is supported via the
+same posting join with a match-all-terms constraint; facet drill-down
+filters (Solr ``fq``) compose as metadata predicates.
+
+Physical shape of a query (see ``.explain`` audit in tests/bench):
+
+  scan postings WHERE bucket IN (term buckets) AND term IN (terms)
+      [directory-partition pruning + parquet row-group stats on term]
+  → [block-max prune: drop (term, block) rows that cannot reach the
+     current top-k threshold — lossless, tests/test_wand.py]
+  → decode varint blobs (Arrow pandas UDF) → posexplode to (doc, tf, dl)
+  → BM25 column expression (whole-stage codegen; dl travels inside the
+    posting so there is NO doclen join at query time)
+  → hash-agg sum by doc_id (one small shuffle) → TakeOrdered(k).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oni_indexer_spark.analyzer import query_terms, tokens_col
+from oni_indexer_spark.index.build import IndexConfig, IndexTables, term_bucket
+from oni_indexer_spark.index.codec import decode_postings
+
+
+def idf_expr(df_col: Column, n_docs: int) -> Column:
+    """Lucene BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return F.log(1.0 + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+
+
+def tfn_expr(tf: Column, dl: Column, avgdl: float, k1: float, b: float) -> Column:
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("dls", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(_DECODE_SCHEMA)
+def _decode_udf(blobs: pd.Series) -> pd.DataFrame:
+    docs, tfs, dls = [], [], []
+    for b in blobs:
+        d, t, l = decode_postings(bytes(b))
+        docs.append(d)
+        tfs.append(t)
+        dls.append(l)
+    return pd.DataFrame({"doc_ids": docs, "tfs": tfs, "dls": dls})
+
+
+def _decoded(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(term, doc_id, tf, dl) rows from (possibly compressed) block rows."""
+    if cfg.compress:
+        dec = postings.withColumn("dec", _decode_udf("blob"))
+        zipped = dec.select(
+            "term",
+            F.explode(F.arrays_zip("dec.doc_ids", "dec.tfs", "dec.dls")).alias("p"),
+        )
+        return zipped.select(
+            "term",
+            F.col("p.doc_ids").alias("doc_id"),
+            F.col("p.tfs").alias("tf"),
+            F.col("p.dls").alias("dl"),
+        )
+    return postings.select("term", F.explode("plist").alias("p")).select(
+        "term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl")
+    )
+
+
+def _term_stats(tables: IndexTables, terms: list[str]) -> tuple[int, float, dict[str, float]]:
+    """n_docs, avgdl, and idf per (present) query term. The dfreq lookup is
+    a bucket-pruned scan of a small table; results are broadcast as
+    literals into the scoring plan."""
+    srow = tables.stats.collect()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+    buckets = _buckets_for(tables, terms)
+    rows = (
+        tables.dfreq.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    import math
+
+    idf = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)) for r in rows}
+    return n_docs, avgdl, idf
+
+
+def _buckets_for(tables: IndexTables, terms: list[str]) -> list[int]:
+    spark = tables.postings.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    return [
+        r[0]
+        for r in tdf.select(term_bucket(F.col("term"), tables.cfg.n_buckets)).distinct().collect()
+    ]
+
+
+def _empty_result(tables: IndexTables) -> DataFrame:
+    return tables.postings.sparkSession.createDataFrame(
+        [], "rank int, doc_id long, score double"
+    )
+
+
+def _scores(
+    postings_subset: DataFrame,
+    tables: IndexTables,
+    idf: dict[str, float],
+    avgdl: float,
+    mode: str,
+    fq: dict[str, str] | None,
+) -> DataFrame:
+    """Exact (doc_id, score) for every doc present in the postings subset."""
+    cfg = tables.cfg
+    rows = _decoded(postings_subset, cfg)
+    idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
+    per_term = rows.withColumn(
+        "s", idf_map[F.col("term")] * tfn_expr(F.col("tf"), F.col("dl"), avgdl, cfg.k1, cfg.b)
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_terms_hit")
+    )
+    if mode == "and":
+        agg = agg.where(F.col("n_terms_hit") == len(idf))
+    scored = agg.select("doc_id", "score")
+    if fq:
+        keep = tables.doclen
+        for c, v in fq.items():
+            keep = keep.where(F.col(c) == v)
+        scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
+    return scored
+
+
+def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k with deterministic tie-break: rank on (round(score,6) desc,
+    doc_id asc). Rounding first makes ranking robust to non-associative
+    float summation (engine vs oracle agree bit-for-bit after round)."""
+    top = (
+        scored.withColumn("score_r", F.round("score", 6))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(k)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", F.col("score").alias("score")
+    )
+
+
+def topk(
+    tables: IndexTables,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    fq: dict[str, str] | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Rank-ordered top-k ``(rank, doc_id, score)`` for a free-text query.
+
+    ``mode='or'`` is Solr's default q.op; ``mode='and'`` requires all
+    terms. ``fq`` is a dict of exact-match metadata filters (C9).
+    ``prune`` enables lossless block-max pruning (invariant-tested).
+    """
+    terms = query_terms(query)
+    if not terms:
+        return _empty_result(tables)
+    n_docs, avgdl, idf = _term_stats(tables, terms)
+    if not idf or (mode == "and" and len(idf) < len(terms)):
+        return _empty_result(tables)
+    present = list(idf)
+    buckets = _buckets_for(tables, present)
+    p = tables.postings.where(F.col("bucket").isin(buckets) & F.col("term").isin(present))
+
+    if prune and mode == "or" and fq is None:
+        p = _blockmax_prune(p, tables, idf, avgdl, k)
+
+    return _ranked(_scores(p, tables, idf, avgdl, mode, fq), k)
+
+
+def _blockmax_prune(
+    p: DataFrame,
+    tables: IndexTables,
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> DataFrame:
+    """Lossless block-max pruning (the Spark-native analogue of Lucene's
+    block-max WAND, SURVEY.md §4.2.3).
+
+    Blocks are global doc-ranges, so a doc's total score is bounded by
+    Σ_t idf_t · block_max_tfn(t, block of that doc). Pass 1 scores just
+    enough highest-bound blocks to get a candidate kth score τ; the final
+    pass keeps only blocks whose bound ≥ τ. Any dropped doc scores < τ ≤
+    true kth score, so the top-k is unchanged (tests/test_wand.py).
+    """
+    idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
+    bounds = (
+        p.withColumn("ub1", idf_map[F.col("term")] * F.col("block_max_tfn"))
+        .groupBy("block_id")
+        .agg(F.sum("ub1").alias("ub"), F.sum("n").alias("ncap"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("ub"), F.asc("block_id")).rowsBetween(W.unboundedPreceding, -1)
+    cand = (
+        bounds.withColumn("prev_cap", F.coalesce(F.sum("ncap").over(w), F.lit(0)))
+        .where(F.col("prev_cap") < k)
+        .select("block_id", "ub")
+    )
+    cand_ids = [r["block_id"] for r in cand.select("block_id").collect()]
+    if not cand_ids:
+        return p
+    cand_scores = _scores(p.where(F.col("block_id").isin(cand_ids)), tables, idf, avgdl, "or", None)
+    kth_rows = cand_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    if len(kth_rows) < k:
+        return p  # not enough distinct candidates to establish a threshold
+    tau = kth_rows[-1]["score"]
+    keep = bounds.where(F.col("ub") >= tau).select("block_id")
+    return p.join(F.broadcast(keep), "block_id", "left_semi")
+
+
+def topk_direct(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    fq: dict[str, str] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k computed straight from the documents table (no
+    materialized index) — one declarative plan, used as the in-engine
+    cross-check for the index path and as the SQL-oracle twin.
+    """
+    terms = query_terms(query)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    # Solr fq semantics: corpus stats (N, avgdl, df) are global; the
+    # filter only restricts which docs may appear in the result.
+    base = docs
+    toks = base.select("doc_id", tokens_col("content").alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dlt = base.select("doc_id", F.size(tokens_col("content")).alias("dl"))
+    srow = dlt.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["a"] or 0.0)
+    qt = tf.where(F.col("term").isin(terms))
+    dfreq = qt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qt.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "s", idf_expr(F.col("df"), n_docs) * tfn_expr(F.col("tf"), F.col("dl"), avgdl, k1, b)
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+    if mode == "and":
+        scored = scored.where(F.col("n_terms_hit") == len(set(terms)))
+    if fq:
+        keep = docs
+        for c, v in fq.items():
+            keep = keep.where(F.col(c) == v)
+        scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
+    return _ranked(scored.select("doc_id", "score"), k)

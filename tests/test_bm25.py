@@ -1,0 +1,100 @@
+"""End-to-end BM25 correctness: the index path (build → postings → topk),
+the direct declarative path, and the DuckDB oracle must be rank-identical
+with scores equal to 1e-6 — the golden-results gate from BASELINE.json
+(analogue of the reference's golden-file tests,
+test/resolve-items.spec.js:35-46)."""
+
+import duckdb
+import pytest
+
+from oni_indexer_spark.index import IndexConfig, build_index
+from oni_indexer_spark.oracle import bm25_topk_sql
+from oni_indexer_spark.query import topk, topk_direct
+from tests.conftest import SF_SMOKE
+
+QUERIES = [
+    ("the", 10, "or", None),
+    ("hash join", 10, "or", None),
+    ("window merge sort", 10, "or", None),
+    ("spark batch stream dup", 5, "or", None),
+    ("hash join", 10, "and", None),
+    ("the scan", 25, "or", None),
+    ("zzz_not_in_corpus", 10, "or", None),
+    ("the zzz_not_in_corpus", 10, "or", None),
+    ("the zzz_not_in_corpus", 10, "and", None),
+    ("hash", 10, "or", "en"),
+]
+
+
+def _oracle(query, k, mode, fq_lang):
+    sql = bm25_topk_sql(query, k=k, mode=mode, fq_lang=fq_lang)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    return con.execute(sql).fetchall()
+
+
+@pytest.fixture(scope="module")
+def tables(docs):
+    t = build_index(docs, IndexConfig(block_size=64, n_buckets=8, compress=True))
+    t.postings.cache().count()
+    t.dfreq.cache().count()
+    return t
+
+
+def _rows(df):
+    return [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+@pytest.mark.parametrize("query,k,mode,fq_lang", QUERIES)
+def test_index_path_matches_oracle(tables, query, k, mode, fq_lang):
+    fq = {"lang": fq_lang} if fq_lang else None
+    got = _rows(topk(tables, query, k=k, mode=mode, fq=fq))
+    exp = [(r[0], r[1], round(r[2], 6)) for r in _oracle(query, k, mode, fq_lang)]
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp], "rank/doc mismatch"
+    for g, e in zip(got, exp):
+        assert abs(g[2] - e[2]) < 1e-6
+
+
+@pytest.mark.parametrize("query,k,mode,fq_lang", QUERIES)
+def test_direct_path_matches_index_path(docs, tables, query, k, mode, fq_lang):
+    fq = {"lang": fq_lang} if fq_lang else None
+    a = _rows(topk(tables, query, k=k, mode=mode, fq=fq))
+    b = _rows(topk_direct(docs, query, k=k, mode=mode, fq=fq))
+    assert [(x[0], x[1]) for x in a] == [(x[0], x[1]) for x in b]
+    for x, y in zip(a, b):
+        assert abs(x[2] - y[2]) < 1e-9
+
+
+def test_uncompressed_mode_identical(docs):
+    t2 = build_index(docs, IndexConfig(block_size=64, n_buckets=8, compress=False))
+    a = _rows(topk(t2, "hash join", k=10))
+    exp = [(r[0], r[1], round(r[2], 6)) for r in _oracle("hash join", 10, "or", None)]
+    assert [(x[0], x[1]) for x in a] == [(e[0], e[1]) for e in exp]
+
+
+def test_index_invariants(docs, tables):
+    """Σ tf over postings == total token count; df == distinct docs per
+    term; sha256 invariant doclen ↔ documents (FIXTURES.md §4)."""
+    from pyspark.sql import functions as F
+
+    from oni_indexer_spark.analyzer import tokens_col
+
+    total_tokens = docs.select(
+        F.sum(F.size(tokens_col("content"))).alias("s")
+    ).collect()[0]["s"]
+    cf_sum = tables.dfreq.agg(F.sum("cf")).collect()[0][0]
+    assert int(cf_sum) == int(total_tokens)
+    n_sum = tables.postings.agg(F.sum("n")).collect()[0][0]
+    df_sum = tables.dfreq.agg(F.sum("df")).collect()[0][0]
+    assert int(n_sum) == int(df_sum)
+    # sha256 invariant
+    joined = tables.doclen.alias("a").join(
+        docs.select("doc_id", F.sha2("content", 256).alias("sha")).alias("b"), "doc_id"
+    )
+    bad = joined.where(F.col("a.content_sha256") != F.col("b.sha")).count()
+    assert bad == 0
