@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 from oni_indexer_spark import oracle
 from oni_indexer_spark.corpus import from_driver_documents
+from oni_indexer_spark.etl import oracle as _etl_oracle
+from oni_indexer_spark.ops import dedup as _ops_dedup
+from oni_indexer_spark.ops import similarity as _ops_sim
+from oni_indexer_spark.ops import text as _ops_text
 from oni_indexer_spark.index import IndexConfig, IndexTables, build_index
 from oni_indexer_spark.query import facet_counts, topk
 
@@ -123,6 +127,177 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from oni_indexer_spark.ops.text import lang_id
+
+    return lang_id(_content_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from oni_indexer_spark.ops.text import quality_score
+
+    return quality_score(_content_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from oni_indexer_spark.ops.text import fingerprint
+
+    return fingerprint(_content_docs(spark, sf_dir))
+
+
+def _q_minhash(spark, sf_dir):
+    from oni_indexer_spark.ops.dedup import minhash_signatures
+
+    return minhash_signatures(_content_docs(spark, sf_dir), n_hashes=8)
+
+
+def _q_simhash(spark, sf_dir):
+    from oni_indexer_spark.ops.dedup import simhash
+
+    return simhash(_content_docs(spark, sf_dir), bits=16)
+
+
+def _q_jaccard(spark, sf_dir):
+    from oni_indexer_spark.ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(_content_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from oni_indexer_spark.ops.similarity import cosine_topk
+
+    return cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _QUERY_VEC, k=10)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    # non-SQL-expressible composition (banded LSH join) → rows-only check
+    from oni_indexer_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_content_docs(spark, sf_dir), n_hashes=12, bands=4, threshold=0.3)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from oni_indexer_spark.ops.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _QUERY_VEC, k=10, n_planes=4
+    )
+
+
+def _q_multimodal(spark, sf_dir):
+    from oni_indexer_spark.ops.multimodal import extract_features, synth_assets
+
+    return extract_features(synth_assets(spark, n=48), dim=8, decoder="fake")
+
+
+# --- ETL parity ops (SURVEY.md §2.B) over the deterministic item-graph
+#     fixture (sf_dir-independent; the oracle uses the same VALUES) -------
+
+
+def _q_etl_filter(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    items = fixture.spark_items(spark)
+    return ops.filter_items(
+        items, {"types": "Dataset", "name": {"re": "corpus$"}}
+    ).select("id", "name")
+
+
+def _q_etl_resolve(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.resolve(
+        fixture.spark_items(spark), fixture.spark_edges(spark), "author", "author"
+    )
+
+
+def _q_etl_resolve_via(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.resolve_via(
+        fixture.spark_items(spark),
+        fixture.spark_edges(spark),
+        ["conviction", "location"],
+        "conviction_location",
+    )
+
+
+def _q_etl_reverse(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.resolve_reverse(
+        fixture.spark_items(spark), fixture.spark_edges(spark), "location", "located_sentence"
+    )
+
+
+def _q_etl_inherit(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.inherit(fixture.spark_items(spark), "license", fixture.ROOT_ID).select(
+        "id", "license"
+    )
+
+
+def _q_etl_license_map(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+    from oni_indexer_spark.etl.oracle import LICENSE_DEFAULT, LICENSE_RULES
+
+    return ops.map_license(
+        fixture.spark_items(spark), LICENSE_RULES, LICENSE_DEFAULT
+    ).select("id", "license", "licenseOriginal")
+
+
+def _q_etl_validate_date(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return fixture.spark_items(spark).select(
+        "id", ops.validate_date("date_published").alias("date_valid")
+    )
+
+
+def _q_etl_facet_tokenize(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    items = fixture.spark_items(spark)
+    return items.select(
+        "id", F.explode(ops.facet_tokenize("keywords")).alias("keyword")
+    )
+
+
+def _q_etl_year(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return (
+        fixture.spark_items(spark)
+        .where(F.col("date_published").isNotNull())
+        .select("id", ops.year_published("date_published").alias("yearPublished"))
+    )
+
+
+def _q_etl_map_all(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.map_all(fixture.spark_items(spark))
+
+
+def _q_etl_type_dispatch(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    d = ops.type_dispatch(
+        fixture.spark_items(spark), {"Dataset": {}, "Person": {"name": {"re": "a"}}}
+    )
+    return d.groupBy("record_type_s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_or_topk": _q_bm25("hash join", k=10),
@@ -140,6 +315,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_lookup": _q_id_lookup,
         "copyfield_main_search": _q_copyfield,
         "dedup_exact": _q_dedup_exact,
+        "text_lang_id": _q_lang_id,
+        "text_quality": _q_quality,
+        "text_fingerprint": _q_fingerprint,
+        "dedup_minhash_sig": _q_minhash,
+        "dedup_simhash": _q_simhash,
+        "dedup_ngram_jaccard": _q_jaccard,
+        "sim_cosine_topk": _q_cosine_topk,
+        "etl_filter_type_regex": _q_etl_filter,
+        "etl_resolve_author": _q_etl_resolve,
+        "etl_resolve_via": _q_etl_resolve_via,
+        "etl_reverse_location": _q_etl_reverse,
+        "etl_inherit_license": _q_etl_inherit,
+        "etl_license_map": _q_etl_license_map,
+        "etl_validate_date": _q_etl_validate_date,
+        "etl_facet_tokenize": _q_etl_facet_tokenize,
+        "etl_year_published": _q_etl_year,
+        "etl_map_all": _q_etl_map_all,
+        "etl_type_dispatch": _q_etl_type_dispatch,
+        # rows-only checks (no SQL-expressible oracle):
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "sim_ann_lsh": _q_ann_lsh,
+        "multimodal_features": _q_multimodal,
     }
 
 
@@ -169,4 +366,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS content_sha256, min(doc_id) AS keep_doc_id, "
             "count(*)::bigint AS n_copies FROM documents GROUP BY sha256(text)"
         ),
+        "text_lang_id": _ops_text.lang_id_sql(),
+        "text_quality": _ops_text.quality_score_sql(),
+        "text_fingerprint": _ops_text.fingerprint_sql(),
+        "dedup_minhash_sig": _ops_dedup.minhash_signatures_sql(n_hashes=8),
+        "dedup_simhash": _ops_dedup.simhash_sql(bits=16),
+        "dedup_ngram_jaccard": _ops_dedup.jaccard_pairs_sql(n=3, threshold=0.2),
+        "sim_cosine_topk": _ops_sim.cosine_topk_sql(_QUERY_VEC, k=10),
+        "etl_filter_type_regex": _etl_oracle.filter_type_regex_sql(),
+        "etl_resolve_author": _etl_oracle.resolve_author_sql(),
+        "etl_resolve_via": _etl_oracle.resolve_via_sql(),
+        "etl_reverse_location": _etl_oracle.reverse_location_sql(),
+        "etl_inherit_license": _etl_oracle.inherit_license_sql(),
+        "etl_license_map": _etl_oracle.license_map_sql(),
+        "etl_validate_date": _etl_oracle.validate_date_sql(),
+        "etl_facet_tokenize": _etl_oracle.facet_tokenize_sql(),
+        "etl_year_published": _etl_oracle.year_published_sql(),
+        "etl_map_all": _etl_oracle.map_all_sql(),
+        "etl_type_dispatch": _etl_oracle.type_dispatch_sql(),
     }

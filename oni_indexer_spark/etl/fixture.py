@@ -1,0 +1,91 @@
+"""Deterministic item-graph fixture for the §2.B ETL parity operators.
+
+Mirrors the reference's JSON-LD item model (RO-Crate ``@graph``:
+``test-data/vic-arch-ro-crate-metadata.jsonld``, criminals crate
+``test-data/criminals/indexer.json:37-87``) in relational form:
+
+- ``items(id, types, name, description, license, date_published, keywords)``
+- ``edges(src, property, dst)``  (link objects ``{"@id": ...}``; reverse
+  edges are the same rows traversed dst→src, cf. ``crate.addBackLinks()``
+  at ``lib/ROCrateIndexer.js:250-254``)
+
+The SAME Python constants build the Spark DataFrames and the DuckDB
+``VALUES`` CTE, so oracle comparisons are exact. 'd1' is the root dataset
+(reference ``getRootDataset``, ``lib/ROCrateIndexer.js:263``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ROOT_ID = "d1"
+
+# (id, types, name, description, license, date_published, keywords)
+ITEMS: list[tuple] = [
+    ("d1", ["Dataset"], "Root corpus", "The root dataset", "https://creativecommons.org/licenses/by/4.0/", "2021-03-15T10:00:00", "spark,index,bm25"),
+    ("d2", ["Dataset"], "Sub corpus", "A nested dataset", None, "2020-1-1", "search,solr"),
+    ("d3", ["Dataset", "RepositoryCollection"], "Old corpus", "Legacy data", "custom-internal", "not a date", None),
+    ("p1", ["Person"], "Ada Lovelace", "mathematician", None, None, None),
+    ("p2", ["Person"], "Grace Hopper", "admiral", None, None, None),
+    ("p3", ["Person"], "Alan Turing", None, None, None, None),
+    ("o1", ["Organization"], "Analytical Engines Ltd", None, None, None, None),
+    ("s1", ["Sentence"], "Sentence One", None, None, None, None),
+    ("s2", ["Sentence"], "Sentence Two", None, None, None, None),
+    ("pl1", ["Place"], "Melbourne", None, None, None, None),
+    ("pl2", ["Place"], "London", None, None, None, None),
+]
+
+# (src, property, dst)
+EDGES: list[tuple[str, str, str]] = [
+    ("d1", "author", "p1"),
+    ("d1", "author", "p2"),
+    ("d2", "author", "p3"),
+    ("d1", "hasPart", "d2"),
+    ("p1", "affiliation", "o1"),
+    ("p2", "affiliation", "o1"),
+    ("p1", "conviction", "s1"),
+    ("p3", "conviction", "s2"),
+    ("s1", "location", "pl1"),
+    ("s2", "location", "pl2"),
+]
+
+ITEMS_SCHEMA = (
+    "id string, types array<string>, name string, description string,"
+    " license string, date_published string, keywords string"
+)
+EDGES_SCHEMA = "src string, property string, dst string"
+
+
+def spark_items(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ITEMS, ITEMS_SCHEMA)
+
+
+def spark_edges(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(EDGES, EDGES_SCHEMA)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, list):
+        return "[" + ", ".join(_sql_lit(x) for x in v) + "]"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def sql_cte() -> str:
+    """``WITH items(...) AS (VALUES ...), edges(...) AS (VALUES ...)``
+    prefix for DuckDB oracles over the same fixture."""
+    items_rows = ",\n    ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in ITEMS
+    )
+    edges_rows = ",\n    ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in EDGES
+    )
+    return f"""WITH items(id, types, name, description, license, date_published, keywords) AS (
+  VALUES
+    {items_rows}
+),
+edges(src, property, dst) AS (
+  VALUES
+    {edges_rows}
+)"""

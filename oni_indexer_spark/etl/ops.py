@@ -1,0 +1,224 @@
+"""The reference's declarative field-config operators (SURVEY.md §2.B) as
+DataFrame transforms. Each implements the *intended* semantics of the
+cited JS (latent defects listed in SURVEY.md's appendix are fixed, e.g.
+unwrap's first-element-only early return).
+
+The reference compiles its config to closures applied per item in a JS
+loop (``lib/ROCrateIndexer.js:27-76, 317-342``); here the same config
+compiles to Column expressions / join fragments, so Catalyst pushes the
+filters down and the resolve joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- B3/B4: predicate compilation (makeEq / compileFilter,
+#     lib/ROCrateIndexer.js:120-186) ------------------------------------
+
+def compile_condition(field: str, cond, root_id: str | None = None) -> Column:
+    """One field condition: bare string = exact match; {"re": pat} =
+    regex; {"is_root": True} = the item is the root dataset. Array-typed
+    fields match if ANY element matches (reference array-any semantics).
+    """
+    col = F.col(field)
+    if isinstance(cond, dict) and cond.get("is_root"):
+        return F.col("id") == F.lit(root_id)
+    if isinstance(cond, dict) and "re" in cond:
+        pat = cond["re"]
+        test = lambda c: c.rlike(pat)  # noqa: E731
+    else:
+        test = lambda c: c == F.lit(str(cond))  # noqa: E731
+    # arrays: any-element match (reference array-any semantics); the
+    # branch is a Python-time decision — Spark resolves types statically
+    if field == "types":
+        return F.exists(col, test)
+    return test(col)
+
+
+def compile_filter(spec: dict, root_id: str | None = None) -> Column:
+    """AND of per-field conditions (compileFilter,
+    lib/ROCrateIndexer.js:120-154)."""
+    pred = F.lit(True)
+    for field, cond in spec.items():
+        pred = pred & compile_condition(field, cond, root_id)
+    return pred
+
+
+def filter_items(items: DataFrame, spec: dict, root_id: str | None = None) -> DataFrame:
+    return items.where(compile_filter(spec, root_id))
+
+
+# --- B2: type dispatch (indexItems, lib/ROCrateIndexer.js:317-342) ------
+
+def type_dispatch(items: DataFrame, type_filters: dict[str, dict]) -> DataFrame:
+    """One branch per configured @type (first matching type wins —
+    reference truncates types=[type]); branches union. Output adds
+    ``record_type_s`` (B6 base projection's type column)."""
+    out = None
+    claimed = F.lit(False)
+    for typ, spec in type_filters.items():
+        hit = F.array_contains(F.col("types"), typ) & ~claimed
+        branch = (
+            items.where(hit & compile_filter(spec or {}))
+            .withColumn("record_type_s", F.lit(typ))
+        )
+        out = branch if out is None else out.unionByName(branch)
+        claimed = claimed | F.array_contains(F.col("types"), typ)
+    return out
+
+
+# --- B6: base projection (baseSolr/map_all, lib/ROCrateIndexer.js:826-834)
+
+def map_all(items: DataFrame) -> DataFrame:
+    return items.select(
+        F.col("id"),
+        F.col("id").alias("id_orig"),
+        F.element_at(F.col("types"), 1).alias("record_type_s"),
+        F.element_at(F.col("types"), 1).alias("type_label"),
+        "name",
+        "description",
+    )
+
+
+# --- B11: resolve (1-hop deref, lib/ROCrateIndexer.js:554-635) -----------
+
+def resolve(
+    items: DataFrame,
+    edges: DataFrame,
+    prop: str,
+    index_as: str,
+    display: str = "name",
+) -> DataFrame:
+    """Follow ``prop`` links from each item to the target item, emitting
+    the display field and the ``{index_as}_id`` side output
+    (lib/ROCrateIndexer.js:460-468). Broadcast join: entity tables are
+    small relative to the corpus."""
+    e = edges.where(F.col("property") == prop)
+    tgt = items.select(
+        F.col("id").alias("_tid"), F.col(display).alias(index_as)
+    )
+    return (
+        items.alias("i")
+        .join(e.alias("e"), F.col("i.id") == F.col("e.src"))
+        .join(F.broadcast(tgt), F.col("e.dst") == F.col("_tid"))
+        .select(
+            F.col("i.id").alias("id"),
+            F.col(index_as),
+            F.col("e.dst").alias(f"{index_as}_id"),
+        )
+    )
+
+
+# --- B12: resolve via (multi-hop chains, lib/ROCrateIndexer.js:574-595) --
+
+def resolve_via(
+    items: DataFrame,
+    edges: DataFrame,
+    via: list[str],
+    index_as: str,
+    display: str = "name",
+) -> DataFrame:
+    """Traverse a property chain (e.g. conviction → location), fanning
+    out at each hop — one equi-join per hop on the edges table."""
+    cur = items.select(F.col("id").alias("src0"))
+    prev = "src0"
+    for i, prop in enumerate(via):
+        e = edges.where(F.col("property") == prop).select(
+            F.col("src").alias(f"_s{i}"), F.col("dst").alias(f"_d{i}")
+        )
+        cur = cur.join(e, F.col(prev) == F.col(f"_s{i}"))
+        prev = f"_d{i}"
+    tgt = items.select(F.col("id").alias("_tid"), F.col(display).alias(index_as))
+    return (
+        cur.join(F.broadcast(tgt), F.col(prev) == F.col("_tid"))
+        .select(F.col("src0").alias("id"), F.col(index_as), F.col(prev).alias(f"{index_as}_id"))
+    )
+
+
+# --- B15: @reverse (lib/ROCrateIndexer.js:359-367) -----------------------
+
+def resolve_reverse(
+    items: DataFrame, edges: DataFrame, prop: str, index_as: str, display: str = "name"
+) -> DataFrame:
+    """Same join with edge direction flipped (dst → src)."""
+    flipped = edges.select(
+        F.col("dst").alias("src"), F.col("property"), F.col("src").alias("dst")
+    )
+    return resolve(items, flipped, prop, index_as, display)
+
+
+# --- B16: inherit (lib/ROCrateIndexer.js:374-385) ------------------------
+
+def inherit(items: DataFrame, field: str, root_id: str) -> DataFrame:
+    """Items lacking ``field`` copy it from the root item (one level,
+    straight to root) — broadcast 1-row cross join + coalesce."""
+    root_val = items.where(F.col("id") == root_id).select(
+        F.col(field).alias("_root_val")
+    )
+    return (
+        items.crossJoin(F.broadcast(root_val))
+        .withColumn(field, F.coalesce(F.col(field), F.col("_root_val")))
+        .drop("_root_val")
+    )
+
+
+# --- B17: license normalization (lib/ROCrateIndexer.js:196-232) ----------
+
+def map_license(
+    items: DataFrame,
+    rules: list[tuple[str, str]],
+    default: str,
+    field: str = "license",
+) -> DataFrame:
+    """Map raw license values through regex rules → canonical label,
+    first matching rule wins, missing/unmatched → default; original kept
+    as ``licenseOriginal`` (root special-case, ROCrateIndexer.js:284-285).
+    """
+    expr = None
+    for pat, label in rules:
+        cond = F.col(field).rlike(pat)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    mapped = (expr.otherwise(F.lit(default)) if expr is not None else F.lit(default))
+    mapped = F.when(F.col(field).isNull(), F.lit(default)).otherwise(mapped)
+    return items.withColumn("licenseOriginal", F.col(field)).withColumn(field, mapped)
+
+
+# --- B18/B19: validate (lib/ROCrateIndexer.js:768-798) -------------------
+
+def validate_date(col: Column | str) -> Column:
+    """Extract YYYY-MM-DD, else empty string (the reference strips
+    non-[\\d-] then extracts; regexp_extract subsumes both)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.regexp_extract(c, r"(\d{4}-\d{2}-\d{2})", 1), F.lit(""))
+
+
+def validate_re(col: Column | str, pattern: str) -> Column:
+    """First capture of a config regex over the value (validate_re)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if "(" not in pattern:
+        pattern = f"({pattern})"
+    return F.coalesce(F.regexp_extract(c, pattern, 1), F.lit(""))
+
+
+# --- B20: facet tokenize (makeFacet, lib/ROCrateIndexer.js:732-764) ------
+
+def facet_tokenize(col: Column | str, delim: str = ",") -> Column:
+    """The documented ``facet: {tokenize: {delim}}`` form (the reference's
+    bare-string form is a defect, SURVEY.md appendix): split + trim,
+    drop empties."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, delim), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+# --- C7: copyfield (oni-indexer.js:272-288, schema.json:92-118) ----------
+
+def year_published(col: Column | str) -> Column:
+    """``*_datePublished`` → first 4 chars → yearPublished copyfield."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, 4)

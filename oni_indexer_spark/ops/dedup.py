@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale corpus curation: exact,
+n-gram Jaccard, MinHash+LSH, SimHash. Spark-first design notes:
+
+- **Exact**: hash-groupBy on sha256(content) — one shuffle, map-side
+  partial agg; at 100 TB the only cost is the scan.
+- **Jaccard / MinHash**: shingle joins are the classic skew trap — an
+  ultra-common shingle (boilerplate header) fans out quadratically.
+  ``jaccard_pairs`` therefore drops shingles above ``max_shingle_df``
+  (standard df-cap trick; a shingle in thousands of docs carries no
+  dedup signal but dominates the join). MinHash+LSH replaces the
+  all-pairs join entirely: band buckets are the join key, candidate
+  verification is exact Jaccard on the candidates only.
+- **SimHash**: one aggregation, no joins; near-dup = equal 16-bit band
+  of the 32-bit signature (probe), verified by Hamming distance.
+
+Every op has an exact DuckDB oracle twin (the portable 32-bit
+md5-prefix hash makes signatures identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oni_indexer_spark.analyzer import duckdb_tokens_sql, tokens_col
+from oni_indexer_spark.ops.text import _portable_hash, portable_hash_sql
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical content: (content_sha256, keep_doc_id,
+    n_copies). Keep = min doc_id (deterministic)."""
+    return docs.groupBy(F.sha2("content", 256).alias("content_sha256")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+def shingles_col(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column. Docs shorter than
+    n tokens yield an empty set (guard needed: Spark's sequence(1, 0)
+    would generate a DESCENDING range, not an empty one)."""
+    toks = tokens_col(col)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingles_sql(text: str, n: int = 3) -> str:
+    """DuckDB twin of shingles_col over a CTE exposing ``toks``.
+    DuckDB range(a, b) is end-exclusive: range(1, len-n+2) gives
+    i = 1..len-n+1 (and an empty list for short docs)."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n - 2}, 1)), i -> {parts}))"
+    )
+
+
+def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles_col("content", n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold:
+    (doc_a, doc_b, jaccard). ``max_shingle_df`` drops boilerplate
+    shingles before the self-join (skew control at scale)."""
+    sh = _shingle_rows(docs, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .where(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(
+    n: int = 3, threshold: float = 0.8, table: str = "documents", text: str = "text"
+) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {duckdb_tokens_sql(text)} AS toks FROM {table}),
+sh AS (
+  SELECT doc_id, unnest({shingles_sql(text, n)}) AS shingle FROM t
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter::double / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::double / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+""".strip()
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 12, n: int = 3) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): per-doc minimum of the seeded portable
+    hash over its shingles — one explode + one groupBy with n_hashes
+    partial-aggregated mins (no join)."""
+    sh = _shingle_rows(docs, n)
+    aggs = [
+        F.min(_portable_hash(F.col("shingle"), seed=f"{i}:")).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(
+    n_hashes: int = 12, n: int = 3, table: str = "documents", text: str = "text"
+) -> str:
+    mins = ", ".join(
+        f"min({portable_hash_sql('shingle', seed=f'{i}:')}) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {duckdb_tokens_sql(text)} AS toks FROM {table}),
+sh AS (SELECT doc_id, unnest({shingles_sql(text, n)}) AS shingle FROM t)
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+""".strip()
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH candidate generation + exact-Jaccard verification.
+
+    Docs sharing ANY band (n_hashes/bands consecutive signature values)
+    become candidates — the band bucket is the join key, so the
+    quadratic all-pairs join never materializes. Candidates are then
+    verified with exact shingle Jaccard ≥ threshold."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, n)
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bkey"),
+            )
+        )
+    bandsdf = band_rows[0]
+    for x in band_rows[1:]:
+        bandsdf = bandsdf.unionByName(x)
+    a = bandsdf.alias("a")
+    b = bandsdf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(docs, n=n, threshold=threshold)
+    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over tf-weighted token hashes: bit j of the
+    signature is set iff Σ_tokens tf·(±1 by bit j of hash32(token)) > 0.
+    One explode + one groupBy; no joins."""
+    toks = docs.select("doc_id", F.explode(tokens_col("content")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = _portable_hash(F.col("term"))
+    weighted = tf.select(
+        "doc_id",
+        *[
+            (
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            ).alias(f"w_{j}")
+            for j in range(bits)
+        ],
+    )
+    agg = weighted.groupBy("doc_id").agg(
+        *[F.sum(f"w_{j}").alias(f"s_{j}") for j in range(bits)]
+    )
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**j).cast("long")
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_sql(bits: int = 32, table: str = "documents", text: str = "text") -> str:
+    h = portable_hash_sql("term")
+    sums = ", ".join(
+        f"sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s_{j} > 0 THEN 1::bigint ELSE 0 END) * {2**j}" for j in range(bits))
+    return f"""
+WITH toksd AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql(text)}) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toksd GROUP BY doc_id, term),
+s AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM s
+""".strip()

@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k against one query
+  vector. All arithmetic in double via ``zip_with``/``aggregate``
+  (left-to-right fold, so the DuckDB oracle is bit-comparable after
+  round(6)). At scale this is a single scan + TakeOrdered — fine as the
+  baseline and as the verifier for the ANN path.
+- :func:`cosine_pairs` — embedding near-duplicate pairs ≥ threshold
+  (brute force; used to verify the LSH variant).
+- :func:`lsh_bucket_topk` — random-hyperplane LSH: 16 deterministic
+  hyperplanes (md5-seeded, reproducible across engines/runs) give a
+  16-bit bucket; candidates = same bucket (or Hamming-adjacent probes),
+  exact cosine re-rank inside. The scale path: the bucket is a join/
+  partition key, so a 10^12-row ANN probe touches one bucket's shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector:
+    (rank, vec_id, cosine). Tie-break: vec_id asc on round(cosine, 6)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        "vec_id", F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine")
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
+def cosine_topk_sql(query_vec: list[float], k: int = 10, table: str = "embeddings") -> str:
+    vec = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    return f"""
+WITH q AS (SELECT {vec}::double[] AS qv),
+scored AS (
+  SELECT vec_id,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv), s -> s[1]::double * s[2]::double)), (a,b) -> a+b)
+      / ( sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::double * x::double)), (a,b) -> a+b))
+        * sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x::double * x::double)), (a,b) -> a+b)) )
+    , 6) AS cosine
+  FROM {table}, q
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::int AS rank, vec_id, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+""".strip()
+
+
+def cosine_pairs(
+    emb: DataFrame, threshold: float = 0.95, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding near-duplicate pairs (vec_a, vec_b, cosine ≥ threshold).
+    Brute-force O(n²); the LSH path replaces it at scale."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("ea"), F.col("eb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) derives
+    from md5(f"{p}:{d}") — reproducible everywhere, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h / float(0xFFFFFFFF)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of a vector against fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, p) > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: restrict the exact cosine scan to the query's LSH
+    bucket. Approximate by construction (recall measured in tests
+    against cosine_topk); at scale the bucket column is a partition key
+    so the probe reads one shard."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    qbucket = 0
+    for j, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, plane)) > 0:
+            qbucket += 2**j
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    return cosine_topk(bucketed.where(F.col("bucket") == qbucket), query_vec, k, vec_col)

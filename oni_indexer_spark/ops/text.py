@@ -1,0 +1,186 @@
+"""Text-analysis operators for a training-data pipeline over the corpus:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure ``pyspark.sql.functions`` expressions
+(whole-stage codegen, no Python in the hot path), each with an exact
+DuckDB oracle twin (``*_sql``).
+
+These extend the reference's per-field transforms (SURVEY.md §2.B —
+validate/facet-tokenize are the same shape of work) to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oni_indexer_spark.analyzer import duckdb_tokens_sql, tokens_col
+
+# Tiny deterministic stopword inventories for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+MOD = 1_000_000_007
+
+
+def _portable_hash(col: Column, seed: str = "") -> Column:
+    """32-bit hash identical in Spark and DuckDB: first 8 hex chars of
+    md5(seed || value), parsed as an integer."""
+    src = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash_sql(expr: str, seed: str = "") -> str:
+    src = f"'{seed}' || {expr}" if seed else expr
+    return f"('0x' || substr(md5({src}), 1, 8))::bigint"
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(tokens_col("content")).cast("long").alias("n_tokens")
+    )
+
+
+def token_count_sql(table: str = "documents", text: str = "text") -> str:
+    return (
+        f"SELECT doc_id, len({duckdb_tokens_sql(text)})::bigint AS n_tokens FROM {table}"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language scores + argmax prediction (deterministic
+    tie-break: language code asc)."""
+    toks = tokens_col("content")
+    cols = {}
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))  # noqa: B023
+        cols[lang] = F.round(
+            F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0)), 6
+        )
+    pred = None
+    best = None
+    for lang in sorted(STOPWORDS):
+        if pred is None:
+            pred, best = F.lit(lang), cols[lang]
+        else:
+            pred = F.when(cols[lang] > best, F.lit(lang)).otherwise(pred)
+            best = F.when(cols[lang] > best, cols[lang]).otherwise(best)
+    return docs.select(
+        "doc_id",
+        *[cols[lang].alias(f"score_{lang}") for lang in sorted(STOPWORDS)],
+        pred.alias("predicted_lang"),
+    )
+
+
+def lang_id_sql(table: str = "documents", text: str = "text") -> str:
+    toks = duckdb_tokens_sql(text)
+    score_exprs = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_exprs.append(
+            f"round(CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, x -> list_contains({arr}, x)))::double / len(toks) "
+            f"ELSE 0.0 END, 6) AS score_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, score_{lang})"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+s AS (SELECT doc_id, {", ".join(score_exprs)} FROM t)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)}, {pred} AS predicted_lang
+FROM s
+""".strip()
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Cheap quality heuristics: token count, mean token length,
+    non-alphanumeric character ratio, English stopword ratio, and a
+    composite score in [0,1]."""
+    toks = tokens_col("content")
+    n_toks = F.size(toks)
+    n_chars = F.length(F.col("content"))
+    alnum = F.length(F.regexp_replace(F.lower(F.col("content")), "[^a-z0-9_]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    mean_len = F.when(
+        n_toks > 0, F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / n_toks
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, 1.0 - alnum / n_chars).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_toks > 0, sw_hits / n_toks).otherwise(F.lit(0.0))
+    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    composite = 0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * F.least(
+        sw_ratio * 5.0, F.lit(1.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(composite, 6).alias("quality"),
+    )
+
+
+def quality_score_sql(table: str = "documents", text: str = "text") -> str:
+    toks = duckdb_tokens_sql(text)
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks, {text} AS txt FROM {table}
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_toks,
+    length(txt) AS n_chars,
+    length(regexp_replace(lower(txt), '[^a-z0-9_]', '', 'g')) AS alnum,
+    CASE WHEN len(toks) > 0 THEN
+      list_reduce(list_prepend(0::bigint, list_transform(toks, x -> length(x)::bigint)), (a,b) -> a+b)::double / len(toks)
+    ELSE 0.0 END AS mean_len,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> list_contains({sw}, x)))::double / len(toks)
+    ELSE 0.0 END AS sw_ratio
+  FROM t
+)
+SELECT doc_id,
+  n_toks::bigint AS n_tokens,
+  round(mean_len, 6) AS mean_token_len,
+  round(CASE WHEN n_chars > 0 THEN 1.0 - alnum::double / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  round(sw_ratio, 6) AS stopword_ratio,
+  round(0.4 * least(n_toks / 100.0, 1.0)
+      + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN 1.0 - alnum::double / n_chars ELSE 0.0 END)
+      + 0.3 * least(sw_ratio * 5.0, 1.0), 6) AS quality
+FROM m
+""".strip()
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling document fingerprint:
+    ``fold(h = (h*31 + hash32(token)) mod 1e9+7)`` over the token stream —
+    equal fingerprints ⇒ near-certain duplicate token sequences."""
+    toks = tokens_col("content")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + _portable_hash(x)) % MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprint_sql(table: str = "documents", text: str = "text") -> str:
+    toks = duckdb_tokens_sql(text)
+    h = portable_hash_sql("b")
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::bigint, list_transform({toks}, b -> {h})),
+    (a, b) -> (a * 31 + b) % {MOD}
+  ) AS fingerprint
+FROM {table}
+""".strip()

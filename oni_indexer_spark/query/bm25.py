@@ -80,31 +80,12 @@ def _decoded(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
 
-def _term_stats(tables: IndexTables, terms: list[str]) -> tuple[int, float, dict[str, float]]:
-    """n_docs, avgdl, and idf per (present) query term. The dfreq lookup is
-    a bucket-pruned scan of a small table; results are broadcast as
-    literals into the scoring plan."""
-    srow = tables.stats.collect()[0]
-    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
-    buckets = _buckets_for(tables, terms)
-    rows = (
-        tables.dfreq.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df")
-        .collect()
-    )
-    import math
-
-    idf = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)) for r in rows}
-    return n_docs, avgdl, idf
-
-
 def _buckets_for(tables: IndexTables, terms: list[str]) -> list[int]:
-    spark = tables.postings.sparkSession
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    return [
-        r[0]
-        for r in tdf.select(term_bucket(F.col("term"), tables.cfg.n_buckets)).distinct().collect()
-    ]
+    """term → bucket driver-side (pure-Python XXH64 twin of Spark's
+    xxhash64, tests/test_hashing.py) — no Spark job needed."""
+    from oni_indexer_spark.hashing import term_bucket_py
+
+    return sorted({term_bucket_py(t, tables.cfg.n_buckets) for t in terms})
 
 
 def _empty_result(tables: IndexTables) -> DataFrame:
@@ -159,34 +140,104 @@ def _ranked(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+class Searcher:
+    """Query handle over an index: caches the 1-row stats table and the
+    term→df lookups so a query costs 1 Spark job on the fast path (dfreq
+    probe is memoized per term; scoring+top-k is one action).
+
+    ``prune_cost_threshold``: block-max pruning pays 3 extra driver
+    round-trips; it only wins when the candidate postings are large, so
+    ``prune='auto'`` prunes only when Σ df(term) exceeds this.
+    """
+
+    def __init__(self, tables: IndexTables, prune_cost_threshold: int = 200_000):
+        self.tables = tables
+        self.prune_cost_threshold = prune_cost_threshold
+        self._stats: tuple[int, float] | None = None
+        self._df_cache: dict[str, int] = {}
+
+    def stats(self) -> tuple[int, float]:
+        if self._stats is None:
+            row = self.tables.stats.collect()[0]
+            self._stats = (int(row["n_docs"]), float(row["avgdl"]))
+        return self._stats
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            buckets = _buckets_for(self.tables, missing)
+            rows = (
+                self.tables.dfreq.where(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms if self._df_cache[t] > 0}
+
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        fq: dict[str, str] | None = None,
+        prune: bool | str = "auto",
+    ) -> DataFrame:
+        """Rank-ordered top-k ``(rank, doc_id, score)`` for a free-text
+        query. ``mode='or'`` is Solr's default q.op; ``mode='and'``
+        requires all terms; ``fq`` is exact-match metadata drill-down
+        (C9). ``prune``: True / False / 'auto' (cost-based)."""
+        import math
+
+        tables = self.tables
+        terms = query_terms(query)
+        if not terms:
+            return _empty_result(tables)
+        n_docs, avgdl = self.stats()
+        dfs = self.term_dfs(terms)
+        if not dfs or (mode == "and" and len(dfs) < len(terms)):
+            return _empty_result(tables)
+        idf = {
+            t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
+        }
+        present = list(idf)
+        buckets = _buckets_for(tables, present)
+        p = tables.postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(present)
+        )
+        if prune == "auto":
+            prune = sum(dfs.values()) > self.prune_cost_threshold
+        if prune and mode == "or" and fq is None:
+            p = _blockmax_prune(p, tables, idf, avgdl, k)
+        return _ranked(_scores(p, tables, idf, avgdl, mode, fq), k)
+
+
+# Module-level convenience: one cached Searcher per IndexTables instance.
+# The cache holds a strong ref to the tables, so the id() key stays valid.
+_SEARCHERS: dict[int, tuple[IndexTables, Searcher]] = {}
+
+
+def searcher_for(tables: IndexTables) -> Searcher:
+    hit = _SEARCHERS.get(id(tables))
+    if hit is None or hit[0] is not tables:
+        hit = (tables, Searcher(tables))
+        _SEARCHERS[id(tables)] = hit
+    return hit[1]
+
+
 def topk(
     tables: IndexTables,
     query: str,
     k: int = 10,
     mode: str = "or",
     fq: dict[str, str] | None = None,
-    prune: bool = True,
+    prune: bool | str = "auto",
 ) -> DataFrame:
-    """Rank-ordered top-k ``(rank, doc_id, score)`` for a free-text query.
-
-    ``mode='or'`` is Solr's default q.op; ``mode='and'`` requires all
-    terms. ``fq`` is a dict of exact-match metadata filters (C9).
-    ``prune`` enables lossless block-max pruning (invariant-tested).
-    """
-    terms = query_terms(query)
-    if not terms:
-        return _empty_result(tables)
-    n_docs, avgdl, idf = _term_stats(tables, terms)
-    if not idf or (mode == "and" and len(idf) < len(terms)):
-        return _empty_result(tables)
-    present = list(idf)
-    buckets = _buckets_for(tables, present)
-    p = tables.postings.where(F.col("bucket").isin(buckets) & F.col("term").isin(present))
-
-    if prune and mode == "or" and fq is None:
-        p = _blockmax_prune(p, tables, idf, avgdl, k)
-
-    return _ranked(_scores(p, tables, idf, avgdl, mode, fq), k)
+    """Functional façade over :class:`Searcher` (stats/df cached)."""
+    return searcher_for(tables).topk(query, k=k, mode=mode, fq=fq, prune=prune)
 
 
 def _blockmax_prune(

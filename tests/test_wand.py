@@ -40,12 +40,17 @@ def test_prune_actually_prunes(tables, docs):
     bound falls below it must be dropped. (For stop-word queries at larger
     k the bounds are tightly clustered and lossless pruning legitimately
     keeps everything — same as classic WAND.)"""
+    import math
+
     from pyspark.sql import functions as F
 
-    from oni_indexer_spark.query.bm25 import _blockmax_prune, _term_stats, _buckets_for
+    from oni_indexer_spark.query.bm25 import Searcher, _blockmax_prune, _buckets_for
 
     terms = ["the"]
-    n_docs, avgdl, idf = _term_stats(tables, terms)
+    s = Searcher(tables)
+    n_docs, avgdl = s.stats()
+    dfs = s.term_dfs(terms)
+    idf = {t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()}
     buckets = _buckets_for(tables, terms)
     p = tables.postings.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
     total = p.count()
