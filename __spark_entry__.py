@@ -88,8 +88,12 @@ def _q_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the stats table is one row per appended segment; combine
     t = _index(spark, sf_dir)
-    return t.stats.select("n_docs", F.round("avgdl", 6).alias("avgdl"))
+    return t.stats.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs"), 6).alias("avgdl"),
+    )
 
 
 def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

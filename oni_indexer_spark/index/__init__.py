@@ -1,6 +1,7 @@
 from oni_indexer_spark.index.build import (  # noqa: F401
     IndexConfig,
     IndexTables,
+    append_to_index,
     build_index,
     build_to_path,
     read_index,

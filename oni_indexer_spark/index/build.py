@@ -53,7 +53,7 @@ from pyspark.sql import types as T
 
 from oni_indexer_spark.analyzer import tokens_col
 from oni_indexer_spark.index import lineage as L
-from oni_indexer_spark.index.codec import encode_postings
+from oni_indexer_spark.index.codec import encode_postings_batch
 
 
 @dataclass(frozen=True)
@@ -113,35 +113,36 @@ def _doclen_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
 
-def _tfn_expr(tf: Column, dl: Column, avgdl: float, cfg: IndexConfig) -> Column:
-    """BM25 term saturation (everything except idf): Lucene's
-    ``tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))``."""
-    k1, b = cfg.k1, cfg.b
-    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
-
-
 _ENCODE_SCHEMA = T.BinaryType()
 
 
 @F.pandas_udf(_ENCODE_SCHEMA)
 def _encode_udf(docs: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.Series:
-    # Arrow-batched: the Python-level loop is per (term, block) row; the
-    # numpy codec is vectorized over the postings inside the row.
+    # Fully vectorized over the Arrow batch: one numpy pass encodes every
+    # row's postings (per-row numpy dispatch measured 4x slower).
     return pd.Series(
-        [encode_postings(d, t, l) for d, t, l in zip(docs, tfs, dls)],
+        encode_postings_batch(docs.tolist(), tfs.tolist(), dls.tolist()),
         dtype=object,
     )
 
 
-def _postings_blocks(tf: DataFrame, avgdl: float, cfg: IndexConfig) -> DataFrame:
-    """Group the tf table into doc-range blocks and (optionally) encode."""
+def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Group the tf table into doc-range blocks and (optionally) encode.
+
+    Block-max metadata is stored avgdl-INDEPENDENT as (block_max_tf,
+    block_min_dl): BM25 saturation is increasing in tf and decreasing in
+    dl, so tfn(max_tf, min_dl) under the CURRENT corpus avgdl is a valid
+    per-block score bound even after later appends shift avgdl — appended
+    segments never invalidate existing pruning metadata.
+    """
     blocks = (
         tf.withColumn("block_id", F.floor(F.col("doc_id") / cfg.block_size).cast("long"))
         .groupBy("term", "bucket", "block_id")
         .agg(
             F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
             F.count(F.lit(1)).cast("int").alias("n"),
-            F.max(_tfn_expr(F.col("tf"), F.col("dl"), avgdl, cfg)).alias("block_max_tfn"),
+            F.max("tf").cast("int").alias("block_max_tf"),
+            F.min("dl").cast("int").alias("block_min_dl"),
         )
     )
     if not cfg.compress:
@@ -151,7 +152,8 @@ def _postings_blocks(tf: DataFrame, avgdl: float, cfg: IndexConfig) -> DataFrame
         "bucket",
         "block_id",
         "n",
-        "block_max_tfn",
+        "block_max_tf",
+        "block_min_dl",
         _encode_udf(
             F.transform("plist", lambda x: x["doc_id"]),
             F.transform("plist", lambda x: x["tf"]),
@@ -186,7 +188,7 @@ def build_index(docs: DataFrame, cfg: IndexConfig | None = None) -> IndexTables:
         ),
     )
     tf = _tf_table(docs, cfg)
-    return IndexTables(_postings_blocks(tf, avgdl, cfg), doclen, _dfreq_table(tf), stats, cfg)
+    return IndexTables(_postings_blocks(tf, cfg), doclen, _dfreq_table(tf), stats, cfg)
 
 
 def _collect_stats(doclen: DataFrame) -> tuple[int, float]:
@@ -219,18 +221,25 @@ def build_to_path(
 
     if not (resume and lin.is_done("doclen")):
         t0 = lin.start("doclen")
-        doclen = _doclen_table(docs, cfg)
-        doclen.repartitionByRange(max(cfg.n_buckets, 1), "doc_id").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/doclen")
-        n_docs, avgdl = _collect_stats(spark.read.parquet(f"{path}/doclen"))
+        from pyspark.sql import Observation
+
+        obs = Observation("doclen_stats")
+        # observe ABOVE the range repartition: repartitionByRange runs a
+        # sampling pass that re-executes everything below the exchange, so
+        # an observe below it double-counts (caught by the materialized-
+        # vs-in-memory parity test)
+        doclen = (
+            _doclen_table(docs, cfg)
+            .repartitionByRange(max(cfg.n_buckets, 1), "doc_id")
+            .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        )
+        doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+        # stats ride along with the write job (Observation) — no re-read
+        n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"] or 0.0)
         spark.createDataFrame([(n_docs, float(avgdl))], "n_docs long, avgdl double").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/stats")
         lin.finish("doclen", t0, docs_tokenized=n_docs)
-
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     if not (resume and lin.is_done("tf_stage")):
         t0 = lin.start("tf_stage")
@@ -242,7 +251,7 @@ def build_to_path(
             .partitionBy("bucket")
             .parquet(f"{path}/tf_stage")
         )
-        lin.finish("tf_stage", t0, docs_tokenized=n_docs)
+        lin.finish("tf_stage", t0)
 
     # Dynamic partition overwrite: each bucket-group's write replaces only
     # its own bucket=... directories, so a resumed build never clobbers
@@ -259,7 +268,7 @@ def build_to_path(
             continue
         t0 = lin.start(stage)
         tf_g = tf_staged.where(F.col("bucket").isin(group))
-        blocks = _postings_blocks(tf_g, avgdl, cfg)
+        blocks = _postings_blocks(tf_g, cfg)
         (
             blocks.repartition(len(group), "bucket")
             .sortWithinPartitions("term", "block_id")
@@ -271,11 +280,14 @@ def build_to_path(
             f"{path}/dfreq"
         )
         written = spark.read.parquet(f"{path}/postings").where(F.col("bucket").isin(group))
-        n_post = int(written.agg(F.sum("n")).collect()[0][0] or 0)
-        n_bytes = 0
-        if cfg.compress:
-            n_bytes = int(written.agg(F.sum(F.length("blob"))).collect()[0][0] or 0)
-        lin.finish(stage, t0, postings_emitted=n_post, bytes_compressed=n_bytes)
+        size_col = F.sum(F.length("blob")) if cfg.compress else F.lit(0)
+        mrow = written.agg(F.sum("n").alias("np"), size_col.alias("nb")).collect()[0]
+        lin.finish(
+            stage,
+            t0,
+            postings_emitted=int(mrow["np"] or 0),
+            bytes_compressed=int(mrow["nb"] or 0),
+        )
 
     lin.write_meta(
         {
@@ -286,6 +298,69 @@ def build_to_path(
             "compress": cfg.compress,
         }
     )
+
+
+def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None) -> None:
+    """Append-only incremental indexing (the reference's commit/overwrite
+    cycle, ``oni-indexer.js:158-160``, SURVEY.md §2.C11 — Lucene-segment
+    style: new docs form new segments, never rewrites).
+
+    Requires fresh doc_ids (min(new) > max(existing)): doc-range blocking
+    then guarantees appended docs land in NEW blocks, so postings, dfreq,
+    doclen and stats are pure appends — and the avgdl-independent block
+    bounds keep pruning lossless as avgdl drifts. Query-side, Searcher
+    sums dfreq segments and weight-averages stats segments, so an
+    appended index answers queries EXACTLY like a full rebuild
+    (tests/test_append.py).
+    """
+    spark = docs_new.sparkSession
+    lin = L.Lineage(spark, path)
+    meta = lin.read_meta()
+    cfg = IndexConfig(
+        k1=meta["k1"],
+        b=meta["b"],
+        block_size=meta["block_size"],
+        n_buckets=meta["n_buckets"],
+        compress=meta["compress"],
+    )
+    new_min = docs_new.agg(F.min("doc_id")).collect()[0][0]
+    if new_min is None:
+        return
+    stage = f"append_{batch_id if batch_id is not None else new_min}"
+    if lin.is_done(stage):
+        return  # replayed micro-batch (foreachBatch is at-least-once): skip
+    existing_max = spark.read.parquet(f"{path}/doclen").agg(F.max("doc_id")).collect()[0][0]
+    if existing_max is not None and new_min <= existing_max:
+        raise ValueError(
+            f"append requires fresh doc_ids: min(new)={new_min} <= max(existing)={existing_max}"
+        )
+    t0 = lin.start(stage)
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"append_stats_{stage}")
+    doclen = (
+        _doclen_table(docs_new, cfg)
+        .repartitionByRange(max(cfg.n_buckets // 4, 1), "doc_id")
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    )
+    doclen.write.mode("append").parquet(f"{path}/doclen")
+    n_docs = int(obs.get["n"])
+    spark.createDataFrame(
+        [(n_docs, float(obs.get["avgdl"] or 0.0))], "n_docs long, avgdl double"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+
+    tf = _tf_table(docs_new, cfg)
+    blocks = _postings_blocks(tf, cfg)
+    (
+        blocks.repartition(max(cfg.n_buckets // 4, 1), "bucket")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    _dfreq_table(tf).write.mode("append").partitionBy("bucket").parquet(f"{path}/dfreq")
+    lin.finish(stage, t0, docs_tokenized=n_docs)
 
 
 def read_index(spark: SparkSession, path: str) -> IndexTables:

@@ -26,11 +26,11 @@ import numpy as np
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array into one byte stream."""
+def _varint_encode_arr(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array → (byte array, per-value byte sizes)."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     if vals.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(vals.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (vals >= t).astype(np.int64)
@@ -45,14 +45,19 @@ def varint_encode(vals: np.ndarray) -> bytes:
         byte = (v & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
         out[starts[mask] + k] = byte | cont
+    return out, nbytes
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array into one byte stream."""
+    out, _ = _varint_encode_arr(np.asarray(vals, dtype=np.uint64))
     return out.tobytes()
 
 
-def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode a LEB128 byte stream back to a uint64 array."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+def _varint_decode_arr(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a uint8 array of LEB128 bytes → (values, end-byte indices)."""
     if b.size == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     is_end = (b & 0x80) == 0
     ends = np.nonzero(is_end)[0]
     n = ends.size
@@ -65,6 +70,12 @@ def varint_decode(buf: bytes) -> np.ndarray:
     contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in_group.astype(np.uint64))
     vals = np.zeros(n, dtype=np.uint64)
     np.add.at(vals, group_id, contrib)
+    return vals, ends
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 byte stream back to a uint64 array."""
+    vals, _ = _varint_decode_arr(np.frombuffer(buf, dtype=np.uint8))
     return vals
 
 
@@ -89,3 +100,76 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = triples[1::3].astype(np.int32)
     dls = triples[2::3].astype(np.int32)
     return np.cumsum(gaps), tfs, dls
+
+
+# --- batch codec -----------------------------------------------------------
+# The Arrow UDFs call these once per BATCH, not once per row: a posting
+# block averages a handful of entries, so per-row numpy dispatch dominated
+# the build (measured: 19s of a 24.6s postings stage at 60k docs). Here
+# all rows of a batch concatenate into one value stream; encode/decode is
+# one vectorized pass, and rows are recovered by offset slicing.
+
+
+def encode_postings_batch(
+    docs_list: list, tfs_list: list, dls_list: list
+) -> list[bytes]:
+    """Vectorized multi-row :func:`encode_postings` → list of blobs."""
+    n_rows = len(docs_list)
+    counts = np.fromiter((len(x) for x in docs_list), dtype=np.int64, count=n_rows)
+    total = int(counts.sum())
+    if total == 0:
+        return [b""] * n_rows
+    all_docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in docs_list])
+    all_tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs_list])
+    all_dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls_list])
+    starts = np.cumsum(counts) - counts
+    gaps = all_docs.copy()
+    gaps[1:] -= all_docs[:-1]
+    nz = counts > 0
+    gaps[starts[nz]] = all_docs[starts[nz]]  # first doc per row is absolute
+    triples = np.empty(total * 3, dtype=np.uint64)
+    triples[0::3] = gaps.astype(np.uint64)
+    triples[1::3] = all_tfs.astype(np.uint64)
+    triples[2::3] = all_dls.astype(np.uint64)
+    buf, nbytes = _varint_encode_arr(triples)
+    cum = np.zeros(triples.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=cum[1:])
+    vstart = starts * 3
+    vend = (starts + counts) * 3
+    raw = buf.tobytes()
+    return [raw[cum[vstart[i]] : cum[vend[i]]] for i in range(n_rows)]
+
+
+def decode_postings_batch(
+    blobs: list,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Vectorized multi-row :func:`decode_postings` →
+    (doc_id arrays, tf arrays, dl arrays), one entry per input blob."""
+    n_rows = len(blobs)
+    raw = [bytes(b) if b is not None else b"" for b in blobs]
+    lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=n_rows)
+    buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+    vals, ends = _varint_decode_arr(buf)
+    bstarts = np.cumsum(lens) - lens
+    first_val = np.searchsorted(ends, bstarts)
+    val_counts = np.diff(np.append(first_val, len(ends)))
+    gaps = vals[0::3].astype(np.int64)
+    tfs = vals[1::3].astype(np.int32)
+    dls = vals[2::3].astype(np.int32)
+    # each blob holds 3k values, so the global ::3 stride stays aligned
+    pcounts = val_counts // 3
+    pstarts = np.cumsum(pcounts) - pcounts
+    # segmented cumsum: doc ids restart at each blob's absolute first doc
+    cs = np.cumsum(gaps)
+    corr = np.zeros(n_rows, dtype=np.int64)
+    nz = pcounts > 0
+    prev = pstarts[nz] - 1
+    corr[nz] = np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+    corr[nz] = np.where(pstarts[nz] > 0, corr[nz], 0)
+    doc_ids = cs - np.repeat(corr, pcounts)
+    split_at = pstarts[1:]
+    return (
+        np.split(doc_ids, split_at),
+        np.split(tfs, split_at),
+        np.split(dls, split_at),
+    )

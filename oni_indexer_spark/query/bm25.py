@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from oni_indexer_spark.analyzer import query_terms, tokens_col
 from oni_indexer_spark.index.build import IndexConfig, IndexTables, term_bucket
-from oni_indexer_spark.index.codec import decode_postings
+from oni_indexer_spark.index.codec import decode_postings_batch
 
 
 def idf_expr(df_col: Column, n_docs: int) -> Column:
@@ -52,12 +52,8 @@ _DECODE_SCHEMA = T.StructType(
 
 @F.pandas_udf(_DECODE_SCHEMA)
 def _decode_udf(blobs: pd.Series) -> pd.DataFrame:
-    docs, tfs, dls = [], [], []
-    for b in blobs:
-        d, t, l = decode_postings(bytes(b))
-        docs.append(d)
-        tfs.append(t)
-        dls.append(l)
+    # One vectorized numpy pass per Arrow batch (see codec batch functions).
+    docs, tfs, dls = decode_postings_batch(blobs.tolist())
     return pd.DataFrame({"doc_ids": docs, "tfs": tfs, "dls": dls})
 
 
@@ -157,9 +153,13 @@ class Searcher:
         self._df_cache: dict[str, int] = {}
 
     def stats(self) -> tuple[int, float]:
+        # the stats table may hold one row per appended segment; combine
+        # as a weighted average (append-only incremental indexing, C11)
         if self._stats is None:
-            row = self.tables.stats.collect()[0]
-            self._stats = (int(row["n_docs"]), float(row["avgdl"]))
+            rows = self.tables.stats.collect()
+            n = sum(int(r["n_docs"]) for r in rows)
+            total_dl = sum(int(r["n_docs"]) * float(r["avgdl"]) for r in rows)
+            self._stats = (n, (total_dl / n) if n else 0.0)
         return self._stats
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -170,7 +170,8 @@ class Searcher:
                 self.tables.dfreq.where(
                     F.col("bucket").isin(buckets) & F.col("term").isin(missing)
                 )
-                .select("term", "df")
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))  # sum over appended segments
                 .collect()
             )
             found = {r["term"]: int(r["df"]) for r in rows}
@@ -251,14 +252,22 @@ def _blockmax_prune(
     block-max WAND, SURVEY.md §4.2.3).
 
     Blocks are global doc-ranges, so a doc's total score is bounded by
-    Σ_t idf_t · block_max_tfn(t, block of that doc). Pass 1 scores just
-    enough highest-bound blocks to get a candidate kth score τ; the final
-    pass keeps only blocks whose bound ≥ τ. Any dropped doc scores < τ ≤
-    true kth score, so the top-k is unchanged (tests/test_wand.py).
+    Σ_t idf_t · tfn(block_max_tf, block_min_dl) — BM25 saturation is
+    increasing in tf and decreasing in dl, so evaluating it at the
+    block's max tf / min dl under the current avgdl upper-bounds every
+    posting in the block (and stays valid across appended segments).
+    Pass 1 scores just enough highest-bound blocks to get a candidate
+    kth score τ; the final pass keeps only blocks whose bound ≥ τ. Any
+    dropped doc scores < τ ≤ true kth score, so the top-k is unchanged
+    (tests/test_wand.py).
     """
+    cfg = tables.cfg
     idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
+    block_ub = idf_map[F.col("term")] * tfn_expr(
+        F.col("block_max_tf"), F.col("block_min_dl"), avgdl, cfg.k1, cfg.b
+    )
     bounds = (
-        p.withColumn("ub1", idf_map[F.col("term")] * F.col("block_max_tfn"))
+        p.withColumn("ub1", block_ub)
         .groupBy("block_id")
         .agg(F.sum("ub1").alias("ub"), F.sum("n").alias("ncap"))
     )

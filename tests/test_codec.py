@@ -57,6 +57,44 @@ def test_postings_roundtrip(entries):
     assert l.tolist() == dls.tolist()
 
 
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**40),  # first/abs doc
+                st.integers(min_value=1, max_value=500),
+                st.integers(min_value=1, max_value=10000),
+            ),
+            max_size=40,
+        ),
+        max_size=25,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_batch_matches_single(rows):
+    """Batch encode/decode must agree exactly with the per-row codec,
+    including empty rows interleaved anywhere in the batch."""
+    from oni_indexer_spark.index.codec import (
+        decode_postings_batch,
+        encode_postings_batch,
+    )
+
+    docs_l, tfs_l, dls_l = [], [], []
+    for entries in rows:
+        ds = np.cumsum(np.array([e[0] + 1 for e in entries], dtype=np.int64))
+        docs_l.append(ds)
+        tfs_l.append(np.array([e[1] for e in entries], dtype=np.int32))
+        dls_l.append(np.array([e[2] for e in entries], dtype=np.int32))
+    blobs = encode_postings_batch(docs_l, tfs_l, dls_l)
+    singles = [encode_postings(d, t, l) for d, t, l in zip(docs_l, tfs_l, dls_l)]
+    assert blobs == singles
+    dd, tt, ll = decode_postings_batch(blobs)
+    for i in range(len(rows)):
+        assert dd[i].tolist() == docs_l[i].tolist()
+        assert tt[i].tolist() == tfs_l[i].tolist()
+        assert ll[i].tolist() == dls_l[i].tolist()
+
+
 def test_compression_is_compact():
     # dense block of 128 postings with small gaps/tf/dl ≈ ≤4 bytes/posting
     doc_ids = np.arange(1000, 1128, dtype=np.int64)
