@@ -224,14 +224,13 @@ def build_to_path(
         from pyspark.sql import Observation
 
         obs = Observation("doclen_stats")
-        # observe ABOVE the range repartition: repartitionByRange runs a
-        # sampling pass that re-executes everything below the exchange, so
-        # an observe below it double-counts (caught by the materialized-
-        # vs-in-memory parity test)
-        doclen = (
-            _doclen_table(docs, cfg)
-            .repartitionByRange(max(cfg.n_buckets, 1), "doc_id")
-            .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        # No range repartition: it costs a sampling job + a full shuffle,
+        # and input partitions are already doc_id-ordered in practice, so
+        # parquet min/max stats on doc_id still prune id lookups. (Also:
+        # an observe BELOW repartitionByRange double-counts — the sampling
+        # pass re-executes the child plan; caught by the parity test.)
+        doclen = _doclen_table(docs, cfg).observe(
+            obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         )
         doclen.write.mode("overwrite").parquet(f"{path}/doclen")
         # stats ride along with the write job (Observation) — no re-read
@@ -267,26 +266,28 @@ def build_to_path(
         if resume and lin.is_done(stage):
             continue
         t0 = lin.start(stage)
+        from pyspark.sql import Observation
+
         tf_g = tf_staged.where(F.col("bucket").isin(group))
-        blocks = _postings_blocks(tf_g, cfg)
-        (
-            blocks.repartition(len(group), "bucket")
-            .sortWithinPartitions("term", "block_id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/postings")
+        pobs = Observation(f"postings_metrics_{stage}")
+        size_metric = (
+            F.sum(F.length("blob")) if cfg.compress else F.lit(0).cast("long")
         )
+        blocks = (
+            _postings_blocks(tf_g, cfg)
+            .repartition(len(group), "bucket")
+            .sortWithinPartitions("term", "block_id")
+            .observe(pobs, F.sum("n").alias("np"), size_metric.alias("nb"))
+        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
         _dfreq_table(tf_g).write.mode("overwrite").partitionBy("bucket").parquet(
             f"{path}/dfreq"
         )
-        written = spark.read.parquet(f"{path}/postings").where(F.col("bucket").isin(group))
-        size_col = F.sum(F.length("blob")) if cfg.compress else F.lit(0)
-        mrow = written.agg(F.sum("n").alias("np"), size_col.alias("nb")).collect()[0]
         lin.finish(
             stage,
             t0,
-            postings_emitted=int(mrow["np"] or 0),
-            bytes_compressed=int(mrow["nb"] or 0),
+            postings_emitted=int(pobs.get["np"] or 0),
+            bytes_compressed=int(pobs.get["nb"] or 0),
         )
 
     lin.write_meta(
@@ -339,10 +340,8 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
     from pyspark.sql import Observation
 
     obs = Observation(f"append_stats_{stage}")
-    doclen = (
-        _doclen_table(docs_new, cfg)
-        .repartitionByRange(max(cfg.n_buckets // 4, 1), "doc_id")
-        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    doclen = _doclen_table(docs_new, cfg).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
     doclen.write.mode("append").parquet(f"{path}/doclen")
     n_docs = int(obs.get["n"])

@@ -1,0 +1,100 @@
+"""ETL operator unit tests (beyond the oracle-compared entry queries):
+admin/operational parity + semantics edge cases."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oni_indexer_spark.etl import admin, ops
+from oni_indexer_spark.etl.fixture import ROOT_ID, spark_edges, spark_items
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    return spark_items(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark_edges(spark).cache()
+
+
+def test_filter_is_root(spark, items):
+    rows = ops.filter_items(items, {"name": {"is_root": True}}, root_id=ROOT_ID).collect()
+    assert [r["id"] for r in rows] == ["d1"]
+
+
+def test_filter_array_any_and_conjunction(spark, items):
+    got = ops.filter_items(
+        items, {"types": "RepositoryCollection", "name": {"re": "corpus"}}
+    ).collect()
+    assert [r["id"] for r in got] == ["d3"]
+
+
+def test_type_dispatch_first_match_wins(spark, items):
+    d = ops.type_dispatch(items, {"Dataset": {}, "RepositoryCollection": {}})
+    got = {r["id"]: r["record_type_s"] for r in d.collect()}
+    assert got["d3"] == "Dataset"  # multi-typed item claimed by first config type
+    assert set(got) == {"d1", "d2", "d3"}
+
+
+def test_resolve_multi_arity(spark, items, edges):
+    got = ops.resolve(items, edges, "author", "lead")
+    rows = {(r["id"], r["lead_id"]): r["lead"] for r in got.collect()}
+    assert rows[("d1", "p1")] == "Ada Lovelace"
+    assert rows[("d1", "p2")] == "Grace Hopper"  # ALL elements (unwrap bug fixed)
+    assert rows[("d2", "p3")] == "Alan Turing"
+
+
+def test_validate_re(spark, items):
+    got = items.select("id", ops.validate_re("commit" if False else "name", "([A-Z][a-z]+)").alias("v"))
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows["p1"] == "Ada"
+    assert rows["d1"] == "Root"
+
+
+def test_skip_and_limit(spark, items):
+    got = admin.apply_skip_and_limit(items, skip_ids=["d1", "p1"], limit=3, id_col="id")
+    assert [r["id"] for r in got.collect()] == ["d2", "d3", "o1"]
+
+
+def test_quarantine_invalid(spark):
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, None), (None, "x"), (4, "dup"), (4, "dup2")],
+        "doc_id long, content string",
+    )
+    good, bad = admin.quarantine_invalid(df)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1]
+    reasons = sorted(
+        ((r["doc_id"], r["quarantine_reason"]) for r in bad.collect()), key=repr
+    )
+    assert (2, "null_content") in reasons
+    assert (None, "null_id") in reasons
+    assert sum(1 for d, r in reasons if r == "duplicate_id") == 2
+
+
+def test_portal_facets_roundtrip(tmp_path):
+    existing = {"lang": {"field": "lang", "limit": 10, "sort": "index"}, "stale": {"field": "stale"}}
+    facets = admin.make_portal_facets(
+        {"lang": {}, "repo": {"limit": 7}}, existing=existing
+    )
+    assert set(facets) == {"lang", "repo"}  # stale dropped, new added
+    assert facets["lang"]["limit"] == 10 and facets["lang"]["sort"] == "index"  # kept
+    assert facets["repo"]["limit"] == 7
+    p = str(tmp_path / "facets.json")
+    admin.write_portal_facets(p, facets)
+    assert os.path.exists(p)
+
+
+def test_purge_and_dump(spark, docs, tmp_path):
+    from oni_indexer_spark.index import IndexConfig, build_to_path
+
+    p = str(tmp_path / "idx")
+    build_to_path(docs.limit(50), p, IndexConfig(block_size=64, n_buckets=4), bucket_group_size=4)
+    assert os.path.exists(os.path.join(p, "postings"))
+    admin.dump_docs(docs.limit(5), str(tmp_path / "dump"))
+    assert any(f.endswith(".json") for f in os.listdir(tmp_path / "dump"))
+    admin.purge_index(p)
+    assert not os.path.exists(os.path.join(p, "postings"))
+    assert not os.path.exists(os.path.join(p, "_lineage"))
