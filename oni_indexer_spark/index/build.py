@@ -46,14 +46,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from oni_indexer_spark.analyzer import tokens_col
 from oni_indexer_spark.index import lineage as L
-from oni_indexer_spark.index.codec import encode_postings_batch
 
 
 @dataclass(frozen=True)
@@ -113,17 +111,50 @@ def _doclen_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
 
-_ENCODE_SCHEMA = T.BinaryType()
+_BLOCKS_OUT_SCHEMA = (
+    "term string, bucket int, block_id long, n int,"
+    " block_max_tf int, block_min_dl int, blob binary"
+)
 
 
-@F.pandas_udf(_ENCODE_SCHEMA)
-def _encode_udf(docs: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.Series:
-    # Fully vectorized over the Arrow batch: one numpy pass encodes every
-    # row's postings (per-row numpy dispatch measured 4x slower).
-    return pd.Series(
-        encode_postings_batch(docs.tolist(), tfs.tolist(), dls.tolist()),
-        dtype=object,
-    )
+def _encode_map_arrow(batches):
+    """mapInArrow encoder: reads the Arrow ListArrays' flat child buffers
+    directly (no pandas, no per-row objects) and emits the blob column.
+
+    Measured on 82M postings / 10M block rows at local[32]: the
+    pandas_udf path spent ~57s just converting Arrow↔pandas Series of
+    per-row numpy arrays; this path skips that entirely.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from oni_indexer_spark.index.codec import encode_postings_flat
+
+    for b in batches:
+        idx = {n: i for i, n in enumerate(b.schema.names)}
+        docs = b.column(idx["docs"])
+        tfs = b.column(idx["tfs"])
+        dls = b.column(idx["dls"])
+        counts = pc.list_value_length(docs).to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = encode_postings_flat(
+            docs.flatten().to_numpy(zero_copy_only=False),
+            tfs.flatten().to_numpy(zero_copy_only=False),
+            dls.flatten().to_numpy(zero_copy_only=False),
+            counts,
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(idx["term"]),
+                b.column(idx["bucket"]),
+                b.column(idx["block_id"]),
+                b.column(idx["n"]),
+                b.column(idx["block_max_tf"]),
+                b.column(idx["block_min_dl"]),
+                pa.array(blobs, type=pa.binary()),
+            ],
+            names=["term", "bucket", "block_id", "n", "block_max_tf", "block_min_dl", "blob"],
+        )
 
 
 def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -147,19 +178,18 @@ def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
     if not cfg.compress:
         return blocks
-    return blocks.select(
+    pre = blocks.select(
         "term",
         "bucket",
         "block_id",
         "n",
         "block_max_tf",
         "block_min_dl",
-        _encode_udf(
-            F.transform("plist", lambda x: x["doc_id"]),
-            F.transform("plist", lambda x: x["tf"]),
-            F.transform("plist", lambda x: x["dl"]),
-        ).alias("blob"),
+        F.transform("plist", lambda x: x["doc_id"]).alias("docs"),
+        F.transform("plist", lambda x: x["tf"]).alias("tfs"),
+        F.transform("plist", lambda x: x["dl"]).alias("dls"),
     )
+    return pre.mapInArrow(_encode_map_arrow, _BLOCKS_OUT_SCHEMA)
 
 
 def _dfreq_table(tf: DataFrame) -> DataFrame:

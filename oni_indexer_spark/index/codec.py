@@ -110,18 +110,20 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 # one vectorized pass, and rows are recovered by offset slicing.
 
 
-def encode_postings_batch(
-    docs_list: list, tfs_list: list, dls_list: list
+def encode_postings_flat(
+    all_docs: np.ndarray,
+    all_tfs: np.ndarray,
+    all_dls: np.ndarray,
+    counts: np.ndarray,
 ) -> list[bytes]:
-    """Vectorized multi-row :func:`encode_postings` → list of blobs."""
-    n_rows = len(docs_list)
-    counts = np.fromiter((len(x) for x in docs_list), dtype=np.int64, count=n_rows)
+    """Encode many rows' postings given FLAT value arrays + per-row
+    counts (the natural shape of an Arrow ListArray: child values +
+    offsets — zero per-row work until the final byte slicing)."""
+    n_rows = len(counts)
     total = int(counts.sum())
     if total == 0:
         return [b""] * n_rows
-    all_docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in docs_list])
-    all_tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs_list])
-    all_dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls_list])
+    all_docs = np.asarray(all_docs, dtype=np.int64)
     starts = np.cumsum(counts) - counts
     gaps = all_docs.copy()
     gaps[1:] -= all_docs[:-1]
@@ -129,8 +131,8 @@ def encode_postings_batch(
     gaps[starts[nz]] = all_docs[starts[nz]]  # first doc per row is absolute
     triples = np.empty(total * 3, dtype=np.uint64)
     triples[0::3] = gaps.astype(np.uint64)
-    triples[1::3] = all_tfs.astype(np.uint64)
-    triples[2::3] = all_dls.astype(np.uint64)
+    triples[1::3] = np.asarray(all_tfs, dtype=np.uint64)
+    triples[2::3] = np.asarray(all_dls, dtype=np.uint64)
     buf, nbytes = _varint_encode_arr(triples)
     cum = np.zeros(triples.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=cum[1:])
@@ -140,11 +142,24 @@ def encode_postings_batch(
     return [raw[cum[vstart[i]] : cum[vend[i]]] for i in range(n_rows)]
 
 
-def decode_postings_batch(
+def encode_postings_batch(
+    docs_list: list, tfs_list: list, dls_list: list
+) -> list[bytes]:
+    """Vectorized multi-row :func:`encode_postings` → list of blobs."""
+    n_rows = len(docs_list)
+    counts = np.fromiter((len(x) for x in docs_list), dtype=np.int64, count=n_rows)
+    if int(counts.sum()) == 0:
+        return [b""] * n_rows
+    cat = lambda xs: np.concatenate([np.asarray(x, dtype=np.int64) for x in xs])  # noqa: E731
+    return encode_postings_flat(cat(docs_list), cat(tfs_list), cat(dls_list), counts)
+
+
+def decode_postings_flat(
     blobs: list,
-) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
-    """Vectorized multi-row :func:`decode_postings` →
-    (doc_id arrays, tf arrays, dl arrays), one entry per input blob."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode many blobs → FLAT (doc_ids, tfs, dls, per-blob counts).
+    One vectorized pass; the flat shape feeds an Arrow ListArray or an
+    exploded RecordBatch without any per-row work."""
     n_rows = len(blobs)
     raw = [bytes(b) if b is not None else b"" for b in blobs]
     lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=n_rows)
@@ -157,7 +172,7 @@ def decode_postings_batch(
     tfs = vals[1::3].astype(np.int32)
     dls = vals[2::3].astype(np.int32)
     # each blob holds 3k values, so the global ::3 stride stays aligned
-    pcounts = val_counts // 3
+    pcounts = (val_counts // 3).astype(np.int64)
     pstarts = np.cumsum(pcounts) - pcounts
     # segmented cumsum: doc ids restart at each blob's absolute first doc
     cs = np.cumsum(gaps)
@@ -167,6 +182,16 @@ def decode_postings_batch(
     corr[nz] = np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
     corr[nz] = np.where(pstarts[nz] > 0, corr[nz], 0)
     doc_ids = cs - np.repeat(corr, pcounts)
+    return doc_ids, tfs, dls, pcounts
+
+
+def decode_postings_batch(
+    blobs: list,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Vectorized multi-row :func:`decode_postings` →
+    (doc_id arrays, tf arrays, dl arrays), one entry per input blob."""
+    doc_ids, tfs, dls, pcounts = decode_postings_flat(blobs)
+    pstarts = np.cumsum(pcounts) - pcounts
     split_at = pstarts[1:]
     return (
         np.split(doc_ids, split_at),

@@ -22,14 +22,12 @@ Physical shape of a query (see ``.explain`` audit in tests/bench):
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from oni_indexer_spark.analyzer import query_terms, tokens_col
 from oni_indexer_spark.index.build import IndexConfig, IndexTables, term_bucket
-from oni_indexer_spark.index.codec import decode_postings_batch
 
 
 def idf_expr(df_col: Column, n_docs: int) -> Column:
@@ -41,35 +39,36 @@ def tfn_expr(tf: Column, dl: Column, avgdl: float, k1: float, b: float) -> Colum
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
 
 
-_DECODE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_ids", T.ArrayType(T.LongType())),
-        T.StructField("tfs", T.ArrayType(T.IntegerType())),
-        T.StructField("dls", T.ArrayType(T.IntegerType())),
-    ]
-)
+def _decode_map_arrow(batches):
+    """mapInArrow decoder: one vectorized numpy pass per Arrow batch,
+    emitting already-EXPLODED (term, doc_id, tf, dl) rows — no pandas
+    conversion, no JVM-side arrays_zip/explode."""
+    import numpy as np
+    import pyarrow as pa
 
+    from oni_indexer_spark.index.codec import decode_postings_flat
 
-@F.pandas_udf(_DECODE_SCHEMA)
-def _decode_udf(blobs: pd.Series) -> pd.DataFrame:
-    # One vectorized numpy pass per Arrow batch (see codec batch functions).
-    docs, tfs, dls = decode_postings_batch(blobs.tolist())
-    return pd.DataFrame({"doc_ids": docs, "tfs": tfs, "dls": dls})
+    for b in batches:
+        idx = {n: i for i, n in enumerate(b.schema.names)}
+        blobs = b.column(idx["blob"]).to_pylist()
+        doc_ids, tfs, dls, counts = decode_postings_flat(blobs)
+        term_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), counts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(idx["term"]).take(pa.array(term_idx)),
+                pa.array(doc_ids, type=pa.int64()),
+                pa.array(tfs, type=pa.int32()),
+                pa.array(dls, type=pa.int32()),
+            ],
+            names=["term", "doc_id", "tf", "dl"],
+        )
 
 
 def _decoded(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
     """(term, doc_id, tf, dl) rows from (possibly compressed) block rows."""
     if cfg.compress:
-        dec = postings.withColumn("dec", _decode_udf("blob"))
-        zipped = dec.select(
-            "term",
-            F.explode(F.arrays_zip("dec.doc_ids", "dec.tfs", "dec.dls")).alias("p"),
-        )
-        return zipped.select(
-            "term",
-            F.col("p.doc_ids").alias("doc_id"),
-            F.col("p.tfs").alias("tf"),
-            F.col("p.dls").alias("dl"),
+        return postings.select("term", "blob").mapInArrow(
+            _decode_map_arrow, "term string, doc_id long, tf int, dl int"
         )
     return postings.select("term", F.explode("plist").alias("p")).select(
         "term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl")

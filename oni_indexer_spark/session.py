@@ -64,7 +64,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = single JVM: driver memory is THE memory knob, and it
+        # must scale with thread count (32 concurrent tasks × sort/agg
+        # buffers starve an 8g heap into GC thrash — measured: local[32]
+        # slower than local[8] at 1M docs before this was raised)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Throughput collector: tokenization/split expressions allocate one
+        # UTF8String per token, and the default G1 collapses under that
+        # churn at high thread counts (measured on 1M docs, local[32]:
+        # regex tokenize 99s with G1 → 7.8s with ParallelGC; ZGC similar).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

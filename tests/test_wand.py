@@ -35,24 +35,40 @@ def test_pruned_equals_exhaustive(tables, query, k):
     )
 
 
-def test_prune_actually_prunes(tables, docs):
-    """For k=1 the threshold is the global max score, so every block whose
-    bound falls below it must be dropped. (For stop-word queries at larger
-    k the bounds are tightly clustered and lossless pruning legitimately
-    keeps everything — same as classic WAND.)"""
+def test_prune_actually_prunes(spark):
+    """With real tf spread (one doc repeats the query term 40x) the k=1
+    threshold exceeds every other block's bound — those blocks must be
+    dropped. (For stop-word queries with flat tf the avgdl-independent
+    bounds are tightly clustered and lossless pruning legitimately keeps
+    everything — same regime as classic WAND.)"""
     import math
 
     from pyspark.sql import functions as F
 
+    from oni_indexer_spark.index import IndexConfig, build_index
     from oni_indexer_spark.query.bm25 import Searcher, _blockmax_prune, _buckets_for
 
-    terms = ["the"]
-    s = Searcher(tables)
+    rows = []
+    for i in range(256):
+        body = " ".join(f"tok{j}_{i}" for j in range(30)) + " needle"
+        if i == 7:
+            body += " needle" * 40
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    t = build_index(df, IndexConfig(block_size=16, n_buckets=4))
+    t.postings.cache().count()
+    t.dfreq.cache().count()
+    s = Searcher(t)
     n_docs, avgdl = s.stats()
-    dfs = s.term_dfs(terms)
-    idf = {t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()}
-    buckets = _buckets_for(tables, terms)
-    p = tables.postings.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    dfs = s.term_dfs(["needle"])
+    idf = {k: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for k, d in dfs.items()}
+    buckets = _buckets_for(t, ["needle"])
+    p = t.postings.where(F.col("bucket").isin(buckets) & (F.col("term") == "needle"))
     total = p.count()
-    pruned = _blockmax_prune(p, tables, idf, avgdl, 1).count()
+    pruned = _blockmax_prune(p, t, idf, avgdl, 1).count()
     assert pruned < total
+    # and the pruned result is still exact
+    from oni_indexer_spark.query import topk
+
+    a = [(r["rank"], r["doc_id"]) for r in topk(t, "needle", k=1, prune=True).collect()]
+    assert a == [(1, 7)]
