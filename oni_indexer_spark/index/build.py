@@ -4,7 +4,8 @@ The reference posts flat docs to Solr and lets Lucene build the index
 (``oni-indexer.js:256-269``; SURVEY.md §2.C2-C3). This module builds the
 same artifacts natively as Spark tables:
 
-- ``postings(term, bucket, block_id, n, block_max_tfn, blob|plist)``
+- ``postings(term, bucket, block_id, n, block_max_tf, block_min_dl,
+  blob|plist)``
 - ``doclen(doc_id, repo, path, lang, dl, content_sha256)``  (doc store +
   length norms + the per-row sha256 invariant from BASELINE.json)
 - ``dfreq(term, df, cf)``  (document frequency / collection frequency)
@@ -22,10 +23,10 @@ must do explicitly):
   structural (doc-range salt), not a runtime heuristic, and the blocks
   double as the WAND pruning unit (block doc-ranges align across terms).
   AQE skew-join/coalesce stays on as a second line of defence.
-* **Per-block max-score metadata** (``block_max_tfn`` = max over the
-  block of ``tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))``) makes query-time
-  block-max pruning a plain column predicate (query/wand.py), mirroring
-  Lucene 8's block-max WAND.
+* **Per-block max-score metadata** (``block_max_tf``, ``block_min_dl`` —
+  avgdl-independent, so appends never stale it) makes query-time
+  block-max pruning a plain column predicate, mirroring Lucene 8's
+  block-max WAND.
 * **One tokenize pass.** ``build_to_path`` stages the term-frequency
   table ``(term, doc_id, tf, dl)`` bucket-partitioned by
   ``pmod(xxhash64(term), n_buckets)`` — tokenization (the expensive scan
@@ -117,13 +118,16 @@ _BLOCKS_OUT_SCHEMA = (
 )
 
 
-def _encode_map_arrow(batches):
-    """mapInArrow encoder: reads the Arrow ListArrays' flat child buffers
-    directly (no pandas, no per-row objects) and emits the blob column.
+def _encode_sorted_batches(batches):
+    """Sort-based block encoder: consumes (term, bucket, block_id, doc_id,
+    tf, dl) rows SORTED by (term, block_id, doc_id) within the partition
+    and emits one encoded row per (term, block_id) group.
 
-    Measured on 82M postings / 10M block rows at local[32]: the
-    pandas_udf path spent ~57s just converting Arrow↔pandas Series of
-    per-row numpy arrays; this path skips that entirely.
+    Group boundaries are found vectorized (shifted not-equal); a group
+    whose tail continues into the next Arrow batch is carried over. The
+    group stats (n, max tf, min dl) come from np reduceat — no JVM
+    collect_list / sort_array object churn (event-log measured: the
+    agg-based path spent 114s of GC in the map stage alone at 1M docs).
     """
     import numpy as np
     import pyarrow as pa
@@ -131,65 +135,92 @@ def _encode_map_arrow(batches):
 
     from oni_indexer_spark.index.codec import encode_postings_flat
 
-    for b in batches:
+    carry: pa.RecordBatch | None = None
+
+    def emit(b: pa.RecordBatch, starts: "np.ndarray") -> pa.RecordBatch:
         idx = {n: i for i, n in enumerate(b.schema.names)}
-        docs = b.column(idx["docs"])
-        tfs = b.column(idx["tfs"])
-        dls = b.column(idx["dls"])
-        counts = pc.list_value_length(docs).to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs = encode_postings_flat(
-            docs.flatten().to_numpy(zero_copy_only=False),
-            tfs.flatten().to_numpy(zero_copy_only=False),
-            dls.flatten().to_numpy(zero_copy_only=False),
-            counts,
-        )
-        yield pa.RecordBatch.from_arrays(
+        docs = b.column(idx["doc_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = b.column(idx["tf"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = b.column(idx["dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = np.append(starts[1:], len(b))
+        counts = ends - starts
+        blobs = encode_postings_flat(docs, tfs, dls, counts)
+        take = pa.array(starts)
+        return pa.RecordBatch.from_arrays(
             [
-                b.column(idx["term"]),
-                b.column(idx["bucket"]),
-                b.column(idx["block_id"]),
-                b.column(idx["n"]),
-                b.column(idx["block_max_tf"]),
-                b.column(idx["block_min_dl"]),
+                b.column(idx["term"]).take(take),
+                b.column(idx["bucket"]).take(take),
+                b.column(idx["block_id"]).take(take),
+                pa.array(counts.astype(np.int32), type=pa.int32()),
+                pa.array(np.maximum.reduceat(tfs, starts).astype(np.int32), type=pa.int32()),
+                pa.array(np.minimum.reduceat(dls, starts).astype(np.int32), type=pa.int32()),
                 pa.array(blobs, type=pa.binary()),
             ],
             names=["term", "bucket", "block_id", "n", "block_max_tf", "block_min_dl", "blob"],
         )
 
+    def boundaries(b: pa.RecordBatch) -> "np.ndarray":
+        import numpy as np
+
+        n = len(b)
+        idx = {nm: i for i, nm in enumerate(b.schema.names)}
+        term = b.column(idx["term"])
+        blk = b.column(idx["block_id"])
+        if n == 1:
+            return np.array([0], dtype=np.int64)
+        neq = pc.or_(
+            pc.not_equal(term.slice(1), term.slice(0, n - 1)),
+            pc.not_equal(blk.slice(1), blk.slice(0, n - 1)),
+        ).to_numpy(zero_copy_only=False)
+        return np.concatenate(([0], np.nonzero(neq)[0] + 1)).astype(np.int64)
+
+    import numpy as np
+
+    for b in batches:
+        if carry is not None:
+            b = pa.Table.from_batches([carry, b]).combine_chunks().to_batches()[0]
+            carry = None
+        if len(b) == 0:
+            continue
+        starts = boundaries(b)
+        last_start = int(starts[-1])
+        carry = b.slice(last_start)
+        if last_start > 0:
+            yield emit(b.slice(0, last_start), starts[:-1])
+    if carry is not None and len(carry) > 0:
+        yield emit(carry, np.array([0], dtype=np.int64))
+
 
 def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Group the tf table into doc-range blocks and (optionally) encode.
+    """Turn the tf table into encoded doc-range block rows.
 
     Block-max metadata is stored avgdl-INDEPENDENT as (block_max_tf,
     block_min_dl): BM25 saturation is increasing in tf and decreasing in
     dl, so tfn(max_tf, min_dl) under the CURRENT corpus avgdl is a valid
     per-block score bound even after later appends shift avgdl — appended
     segments never invalidate existing pruning metadata.
+
+    Compressed path (default): shuffle-sort the raw tf rows by
+    (term, block_id, doc_id) and run one linear numpy pass per partition
+    (sort-based grouping — Lucene's segment flush is the same shape).
+    Rows leave the encoder already sorted, so the parquet row groups get
+    term-clustered min/max stats for free. The agg path (collect_list +
+    sort_array) remains for ``compress=False`` debug builds.
     """
-    blocks = (
-        tf.withColumn("block_id", F.floor(F.col("doc_id") / cfg.block_size).cast("long"))
-        .groupBy("term", "bucket", "block_id")
-        .agg(
+    tfb = tf.withColumn("block_id", F.floor(F.col("doc_id") / cfg.block_size).cast("long"))
+    if not cfg.compress:
+        return tfb.groupBy("term", "bucket", "block_id").agg(
             F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
             F.count(F.lit(1)).cast("int").alias("n"),
             F.max("tf").cast("int").alias("block_max_tf"),
             F.min("dl").cast("int").alias("block_min_dl"),
         )
+    pre = (
+        tfb.select("term", "bucket", "block_id", "doc_id", "tf", "dl")
+        .repartition("term", "block_id")
+        .sortWithinPartitions("term", "block_id", "doc_id")
     )
-    if not cfg.compress:
-        return blocks
-    pre = blocks.select(
-        "term",
-        "bucket",
-        "block_id",
-        "n",
-        "block_max_tf",
-        "block_min_dl",
-        F.transform("plist", lambda x: x["doc_id"]).alias("docs"),
-        F.transform("plist", lambda x: x["tf"]).alias("tfs"),
-        F.transform("plist", lambda x: x["dl"]).alias("dls"),
-    )
-    return pre.mapInArrow(_encode_map_arrow, _BLOCKS_OUT_SCHEMA)
+    return pre.mapInArrow(_encode_sorted_batches, _BLOCKS_OUT_SCHEMA)
 
 
 def _dfreq_table(tf: DataFrame) -> DataFrame:
@@ -303,11 +334,14 @@ def build_to_path(
         size_metric = (
             F.sum(F.length("blob")) if cfg.compress else F.lit(0).cast("long")
         )
-        blocks = (
-            _postings_blocks(tf_g, cfg)
-            .repartition(len(group), "bucket")
-            .sortWithinPartitions("term", "block_id")
-            .observe(pobs, F.sum("n").alias("np"), size_metric.alias("nb"))
+        # No repartition-by-bucket before the write: that made ONE task
+        # per bucket and head-term buckets are heavy (measured: postings
+        # stage nearly thread-count-independent). The sort-based encoder
+        # emits rows already sorted by (term, block_id) within each
+        # hash-spread partition; partitionBy(bucket) still routes rows
+        # into bucket directories, at the cost of more files per bucket.
+        blocks = _postings_blocks(tf_g, cfg).observe(
+            pobs, F.sum("n").alias("np"), size_metric.alias("nb")
         )
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
         _dfreq_table(tf_g).write.mode("overwrite").partitionBy("bucket").parquet(
@@ -381,13 +415,7 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
 
     tf = _tf_table(docs_new, cfg)
     blocks = _postings_blocks(tf, cfg)
-    (
-        blocks.repartition(max(cfg.n_buckets // 4, 1), "bucket")
-        .sortWithinPartitions("term", "block_id")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
-    )
+    blocks.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
     _dfreq_table(tf).write.mode("append").partitionBy("bucket").parquet(f"{path}/dfreq")
     lin.finish(stage, t0, docs_tokenized=n_docs)
 
