@@ -293,6 +293,22 @@ def _q_etl_map_all(spark, sf_dir):
     return ops.map_all(fixture.spark_items(spark))
 
 
+def _q_etl_uri_id(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.uri_id(
+        fixture.spark_items(spark), "https://repo.example.org"
+    ).select("id", "uri_id")
+
+
+def _q_etl_resolve_single(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.resolve_single(
+        fixture.spark_items(spark), fixture.spark_edges(spark), "author", "author"
+    )
+
+
 def _q_etl_type_dispatch(spark, sf_dir):
     from oni_indexer_spark.etl import fixture, ops
 
@@ -337,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_year_published": _q_etl_year,
         "etl_map_all": _q_etl_map_all,
         "etl_type_dispatch": _q_etl_type_dispatch,
+        "etl_uri_id": _q_etl_uri_id,
+        "etl_resolve_single": _q_etl_resolve_single,
         # rows-only checks (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
@@ -388,4 +406,6 @@ def oracle_sql() -> dict[str, str]:
         "etl_year_published": _etl_oracle.year_published_sql(),
         "etl_map_all": _etl_oracle.map_all_sql(),
         "etl_type_dispatch": _etl_oracle.type_dispatch_sql(),
+        "etl_uri_id": _etl_oracle.uri_id_sql(),
+        "etl_resolve_single": _etl_oracle.resolve_single_sql(),
     }

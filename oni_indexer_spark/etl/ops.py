@@ -216,6 +216,44 @@ def facet_tokenize(col: Column | str, delim: str = ",") -> Column:
     )
 
 
+# --- B21: named-identifier rewrite (oni-indexer.js:523-536,
+#     lib/ROCrateIndexer.js:269-283) --------------------------------------
+
+def uri_id(
+    items: DataFrame,
+    namespace: str,
+    named_col: str = "name",
+    id_col: str = "id",
+) -> DataFrame:
+    """Rewrite the record id to the repo-namespace identifier when a named
+    identifier exists, else fall back to the md5 hash of the original id
+    (the reference's ``hash_path`` fallback, ``oni-indexer.js:455``)."""
+    named = F.concat(F.lit(namespace.rstrip("/") + "/"), F.col(named_col))
+    return items.withColumn(
+        "uri_id",
+        F.when(F.col(named_col).isNotNull(), named).otherwise(F.md5(F.col(id_col))),
+    )
+
+
+# --- B13: single-arity resolve (lib/ROCrateIndexer.js:560-570) -----------
+
+def resolve_single(
+    items: DataFrame, edges: DataFrame, prop: str, index_as: str, display: str = "name"
+) -> DataFrame:
+    """``multi: false`` semantics: keep only the first resolved target
+    per item (min target id — deterministic; the reference warns and
+    takes element 0)."""
+    multi = resolve(items, edges, prop, index_as, display)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy(F.col(f"{index_as}_id").asc())
+    return (
+        multi.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # --- C7: copyfield (oni-indexer.js:272-288, schema.json:92-118) ----------
 
 def year_published(col: Column | str) -> Column:

@@ -91,6 +91,27 @@ WHERE date_published IS NOT NULL
 """.strip()
 
 
+def uri_id_sql(namespace: str = "https://repo.example.org") -> str:
+    ns = namespace.rstrip("/")
+    return f"""{sql_cte()}
+SELECT id,
+  CASE WHEN name IS NOT NULL THEN '{ns}/' || name ELSE md5(id) END AS uri_id
+FROM items
+""".strip()
+
+
+def resolve_single_sql() -> str:
+    return f"""{sql_cte()}
+SELECT id, author, author_id FROM (
+  SELECT i.id AS id, t.name AS author, e.dst AS author_id,
+         row_number() OVER (PARTITION BY i.id ORDER BY e.dst ASC) AS rn
+  FROM items i
+  JOIN edges e ON i.id = e.src AND e.property = 'author'
+  JOIN items t ON e.dst = t.id
+) WHERE rn = 1
+""".strip()
+
+
 def map_all_sql() -> str:
     return f"""{sql_cte()}
 SELECT id, id AS id_orig, types[1] AS record_type_s, types[1] AS type_label,

@@ -301,27 +301,37 @@ def build_to_path(
         ).write.mode("overwrite").parquet(f"{path}/stats")
         lin.finish("doclen", t0, docs_tokenized=n_docs)
 
-    if not (resume and lin.is_done("tf_stage")):
-        t0 = lin.start("tf_stage")
-        tf = _tf_table(docs, cfg)
-        (
-            tf.repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/tf_stage")
-        )
-        lin.finish("tf_stage", t0)
-
     # Dynamic partition overwrite: each bucket-group's write replaces only
     # its own bucket=... directories, so a resumed build never clobbers
     # completed groups and a re-run of a half-written group is idempotent.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    tf_staged = spark.read.parquet(f"{path}/tf_stage")
-    groups = [
-        list(range(g, min(g + bucket_group_size, cfg.n_buckets)))
-        for g in range(0, cfg.n_buckets, bucket_group_size)
-    ]
+
+    single_pass = bucket_group_size >= cfg.n_buckets
+    if single_pass:
+        # One postings group covers all buckets: staging the tf table
+        # would be a pure pass-through (a multi-GB parquet write + read
+        # for no pruning benefit), so postings build straight from the
+        # corpus. Multi-group builds (finer resume granularity / bounded
+        # working set at very large scale) keep the staged path below.
+        tf_staged = _tf_table(docs, cfg)
+        groups = [list(range(cfg.n_buckets))]
+    else:
+        if not (resume and lin.is_done("tf_stage")):
+            t0 = lin.start("tf_stage")
+            tf = _tf_table(docs, cfg)
+            (
+                tf.repartition(cfg.n_buckets, "bucket")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/tf_stage")
+            )
+            lin.finish("tf_stage", t0)
+        tf_staged = spark.read.parquet(f"{path}/tf_stage")
+        groups = [
+            list(range(g, min(g + bucket_group_size, cfg.n_buckets)))
+            for g in range(0, cfg.n_buckets, bucket_group_size)
+        ]
     for group in groups:
         stage = f"postings_g{group[0]:04d}"
         if resume and lin.is_done(stage):
