@@ -23,6 +23,7 @@ from oni_indexer_spark import oracle
 from oni_indexer_spark.corpus import from_driver_documents
 from oni_indexer_spark.etl import oracle as _etl_oracle
 from oni_indexer_spark.ops import dedup as _ops_dedup
+from oni_indexer_spark.ops import multimodal as _mm
 from oni_indexer_spark.ops import similarity as _ops_sim
 from oni_indexer_spark.ops import text as _ops_text
 from oni_indexer_spark.index import IndexConfig, IndexTables, build_index
@@ -183,7 +184,6 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
-    # non-SQL-expressible composition (banded LSH join) → rows-only check
     from oni_indexer_spark.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_content_docs(spark, sf_dir), n_hashes=12, bands=4, threshold=0.3)
@@ -198,9 +198,11 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
-    from oni_indexer_spark.ops.multimodal import extract_features, synth_assets
+    # scalar shape (feature exploded to (j, feature_val)) so the driver's
+    # canonicalizer can sort/hash it; SQL-verified end to end.
+    from oni_indexer_spark.ops.multimodal import features_exploded, synth_assets
 
-    return extract_features(synth_assets(spark, n=48), dim=8, decoder="fake")
+    return features_exploded(synth_assets(spark, n=48), dim=8, decoder="fake")
 
 
 # --- ETL parity ops (SURVEY.md §2.B) over the deterministic item-graph
@@ -355,7 +357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_type_dispatch": _q_etl_type_dispatch,
         "etl_uri_id": _q_etl_uri_id,
         "etl_resolve_single": _q_etl_resolve_single,
-        # rows-only checks (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
         "multimodal_features": _q_multimodal,
@@ -408,4 +409,9 @@ def oracle_sql() -> dict[str, str]:
         "etl_type_dispatch": _etl_oracle.type_dispatch_sql(),
         "etl_uri_id": _etl_oracle.uri_id_sql(),
         "etl_resolve_single": _etl_oracle.resolve_single_sql(),
+        "dedup_minhash_lsh": _ops_dedup.minhash_lsh_pairs_sql(
+            n_hashes=12, bands=4, threshold=0.3
+        ),
+        "sim_ann_lsh": _ops_sim.lsh_bucket_topk_sql(_QUERY_VEC, k=10, n_planes=4),
+        "multimodal_features": _mm.features_exploded_sql(n=48, dim=8),
     }

@@ -66,15 +66,29 @@ def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
+#: Default df-cap for the shingle self-join. A shingle present in more
+#: than this many docs is boilerplate (no dedup signal) but fans the join
+#: out quadratically — the classic skew trap at corpus scale. Callers that
+#: truly need exact all-pairs semantics pass ``max_shingle_df=None``.
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard ≥ threshold:
-    (doc_a, doc_b, jaccard). ``max_shingle_df`` drops boilerplate
-    shingles before the self-join (skew control at scale)."""
+    (doc_a, doc_b, jaccard). ``max_shingle_df`` (default
+    ``DEFAULT_MAX_SHINGLE_DF``) drops boilerplate shingles before the
+    self-join (skew control at scale); ``None`` disables the cap.
+
+    NOTE on semantics under the cap: dropping a capped shingle removes it
+    from both the intersection and the union counts, so pairs whose
+    similarity rests on boilerplate alone fall below threshold — the
+    standard MinHash-era convention (Broder '97 resemblance over the
+    capped shingle universe)."""
     sh = _shingle_rows(docs, n)
     if max_shingle_df is not None:
         keep = (
@@ -104,13 +118,26 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_sql(
-    n: int = 3, threshold: float = 0.8, table: str = "documents", text: str = "text"
+    n: int = 3,
+    threshold: float = 0.8,
+    table: str = "documents",
+    text: str = "text",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> str:
+    """DuckDB twin of :func:`jaccard_pairs` — same df-cap and the same
+    round(6)-then-compare threshold convention as the engine."""
+    cap = (
+        f"sh AS (SELECT doc_id, shingle FROM sh0 QUALIFY"
+        f" count(*) OVER (PARTITION BY shingle) <= {max_shingle_df}),"
+        if max_shingle_df is not None
+        else "sh AS (SELECT doc_id, shingle FROM sh0),"
+    )
     return f"""
 WITH t AS (SELECT doc_id, {duckdb_tokens_sql(text)} AS toks FROM {table}),
-sh AS (
+sh0 AS (
   SELECT doc_id, unnest({shingles_sql(text, n)}) AS shingle FROM t
 ),
+{cap}
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -122,7 +149,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter::double / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+WHERE round(inter::double / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
 """.strip()
 
 
@@ -159,12 +186,16 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash LSH candidate generation + exact-Jaccard verification.
+    """MinHash LSH candidate generation + candidate-only exact-Jaccard
+    verification.
 
     Docs sharing ANY band (n_hashes/bands consecutive signature values)
-    become candidates — the band bucket is the join key, so the
-    quadratic all-pairs join never materializes. Candidates are then
-    verified with exact shingle Jaccard ≥ threshold."""
+    become candidates — the band bucket is the join key, so the quadratic
+    all-pairs join never materializes. Verification then touches ONLY the
+    candidates: shingle rows are semi-joined down to candidate doc_ids and
+    intersections are computed per candidate pair (cand ⋈ sh_a ⋈ sh_b),
+    never via a full-corpus shingle self-join. At 10^12 docs the cost is
+    O(candidate pairs × shingles/doc), not O(all co-shingled pairs)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, n)
     band_rows = []
@@ -192,8 +223,87 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = jaccard_pairs(docs, n=n, threshold=threshold)
-    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # verification shingles: candidate docs only (uncapped — exact sets)
+    sh = _shingle_rows(docs, n).join(cand_ids, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    n_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs`: band keys are concat of
+    the same portable md5-prefix min-hashes, candidates the same banded
+    self-join, verification the same candidate-only exact Jaccard with
+    round(6)-then-compare."""
+    rows_per_band = n_hashes // bands
+    mins = ", ".join(
+        f"min({portable_hash_sql('shingle', seed=f'{i}:')}) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh_{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {duckdb_tokens_sql(text)} AS toks FROM {table}),
+sh AS (SELECT doc_id, unnest({shingles_sql(text, n)}) AS shingle FROM t),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bandsd AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsd a JOIN bandsd b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter::double / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.inter::double / (sa.n_sh + sb.n_sh - i.inter), 6) >= {threshold}
+""".strip()
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:

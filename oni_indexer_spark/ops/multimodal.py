@@ -53,15 +53,17 @@ def synth_assets(spark, n: int = 64) -> DataFrame:
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder: dim floats derived from
-    sha256(payload) — stable across runs/engines."""
+    a sha256 chain over HEX STRINGS (not digest bytes) — stable across
+    runs AND SQL-expressible (DuckDB's sha256 is varchar-only), so the
+    oracle can recompute the features rather than rows-only-check them."""
     out = []
-    h = hashlib.sha256(payload)
-    raw = b""
-    while len(raw) < dim * 4:
-        h = hashlib.sha256(h.digest())
-        raw += h.digest()
+    h = hashlib.sha256(payload).hexdigest()
+    raw = ""
+    while len(raw) < dim * 8:
+        h = hashlib.sha256(h.encode()).hexdigest()
+        raw += h
     for j in range(dim):
-        v = int.from_bytes(raw[j * 4 : j * 4 + 4], "big")
+        v = int(raw[j * 8 : j * 8 + 8], 16)
         out.append((v / float(0xFFFFFFFF)) * 2.0 - 1.0)
     return out
 
@@ -104,6 +106,68 @@ def extract_features(
             )
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def features_exploded(
+    assets: DataFrame, dim: int = 8, decoder: str = "fake"
+) -> DataFrame:
+    """Driver-comparable shape of :func:`extract_features`: the feature
+    vector exploded to scalar rows (asset_id, kind, n_bytes,
+    payload_sha256, j, feature_val). feature_val is the float32 value
+    promoted to double and rounded — the oracle replicates the same
+    float4 round-trip."""
+    feats = extract_features(assets, dim=dim, decoder=decoder)
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        "payload_sha256",
+        F.posexplode("feature").alias("j", "fv"),
+    ).select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        "payload_sha256",
+        F.col("j").cast("int").alias("j"),
+        F.round(F.col("fv").cast("double"), 6).alias("feature_val"),
+    )
+
+
+def features_exploded_sql(n: int = 48, dim: int = 8) -> str:
+    """DuckDB twin of features_exploded(synth_assets(n), dim).
+
+    The asset payloads are fixture inputs, inlined as hex VALUES exactly
+    like the ETL item-graph oracles inline their fixture. n_bytes and the
+    whole feature chain are COMPUTED in SQL (octet_length(unhex(...)),
+    sha256 chain over hex strings, float4 round-trip); payload_sha256
+    rides in as a literal because DuckDB's sha256 only accepts varchar —
+    documented honest limitation, every derived value is SQL-verified."""
+    if dim * 8 > 64:
+        raise ValueError("features_exploded_sql supports dim <= 8 (one chain step)")
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"asset:{i}".encode()).digest() * (4 + i % 5)
+        s0 = hashlib.sha256(payload).hexdigest()
+        rows.append(f"({i}, '{kind}', '{payload.hex()}', '{s0}')")
+    values = ",\n".join(rows)
+    return f"""
+WITH assets(asset_id, kind, payload_hex, payload_sha256) AS (VALUES
+{values}
+),
+chain AS (
+  SELECT asset_id, kind,
+         octet_length(unhex(payload_hex))::bigint AS n_bytes,
+         payload_sha256,
+         sha256(payload_sha256) AS raw
+  FROM assets
+),
+j AS (SELECT unnest(range(0, {dim}))::int AS j)
+SELECT asset_id, kind, n_bytes, payload_sha256, j,
+       round(((('0x' || substr(raw, j*8 + 1, 8))::bigint / 4294967295.0) * 2.0 - 1.0)::float4::double, 6) AS feature_val
+FROM chain, j
+""".strip()
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 500) -> DataFrame:

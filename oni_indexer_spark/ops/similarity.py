@@ -141,3 +141,55 @@ def lsh_bucket_topk(
             qbucket += 2**j
     bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     return cosine_topk(bucketed.where(F.col("bucket") == qbucket), query_vec, k, vec_col)
+
+
+def _dot_sql(vec_expr: str, literal: list[float]) -> str:
+    """DuckDB rendering of :func:`_dot` against a literal vector — the
+    same left-to-right fold with 0.0 init, so results are IEEE-identical
+    to Spark's ``F.aggregate`` (sign tests on the dot are therefore safe
+    to compare exactly)."""
+    lit = "[" + ", ".join(repr(float(x)) for x in literal) + "]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"list_zip({vec_expr}, {lit}::double[]),"
+        f" s -> s[1]::double * s[2]::double)), (a,b) -> a+b)"
+    )
+
+
+def lsh_bucket_topk_sql(
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`lsh_bucket_topk`. The hyperplanes are
+    driver-computed literals (md5-seeded, no RNG state), so the bucket
+    test is plain arithmetic: bit j = sign of the same left-fold dot
+    product Spark computes."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    qbucket = 0
+    for j, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, plane)) > 0:
+            qbucket += 2**j
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', plane)} > 0 THEN {2**j}::bigint ELSE 0::bigint END)"
+        for j, plane in enumerate(planes)
+    )
+    qv = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table}),
+scored AS (
+  SELECT vec_id,
+    round(
+      {_dot_sql("embedding", query_vec)}
+      / ( sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::double * x::double)), (a,b) -> a+b))
+        * sqrt(list_reduce(list_prepend(0.0, list_transform({qv}::double[], x -> x::double * x::double)), (a,b) -> a+b)) )
+    , 6) AS cosine
+  FROM b WHERE bucket = {qbucket}
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::int AS rank, vec_id, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+""".strip()

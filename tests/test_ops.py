@@ -125,6 +125,17 @@ def test_minhash_lsh_candidates_verified(spark):
     assert all(4 not in p for p in pairs)
 
 
+def test_minhash_lsh_no_fullcorpus_selfjoin(spark):
+    # scale guard: verification must restrict shingles to candidate docs
+    # (LeftSemi before the pair joins) — never the all-pairs shingle
+    # self-join LSH exists to avoid
+    df = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h") for i in range(6)], "doc_id long, content string"
+    )
+    plan = dedup.minhash_lsh_pairs(df, n_hashes=12, bands=4)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, content string"
