@@ -68,9 +68,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- queries
 
-def _q_bm25(query: str, k: int = 10, mode: str = "or", fq: dict | None = None):
+def _q_bm25(
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    fq: dict | None = None,
+    prune: bool | str = "auto",
+):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _rounded(topk(_index(spark, sf_dir), query, k=k, mode=mode, fq=fq))
+        return _rounded(
+            topk(_index(spark, sf_dir), query, k=k, mode=mode, fq=fq, prune=prune)
+        )
 
     return run
 
@@ -329,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fq_lang": _q_bm25("hash", k=10, fq={"lang": "en"}),
         "bm25_zero_result": _q_bm25("zzz_not_in_corpus", k=10),
         "bm25_k100": _q_bm25("the scan", k=100),
+        # forced block-max-pruned path (lossless => same oracle as unpruned)
+        "bm25_pruned_topk": _q_bm25("the scan join", k=10, prune=True),
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "corpus_stats": _q_stats,
@@ -372,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fq_lang": oracle.bm25_topk_sql("hash", k=10, fq_lang="en"),
         "bm25_zero_result": oracle.bm25_topk_sql("zzz_not_in_corpus", k=10),
         "bm25_k100": oracle.bm25_topk_sql("the scan", k=100),
+        "bm25_pruned_topk": oracle.bm25_topk_sql("the scan join", k=10),
         "term_dfreq": oracle.dfreq_sql(_DF_TERMS),
         "doclen_sha256": oracle.doclen_sql(),
         "corpus_stats": oracle.stats_sql(),

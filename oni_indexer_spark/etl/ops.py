@@ -154,9 +154,15 @@ def resolve_reverse(
 
 def inherit(items: DataFrame, field: str, root_id: str) -> DataFrame:
     """Items lacking ``field`` copy it from the root item (one level,
-    straight to root) — broadcast 1-row cross join + coalesce."""
-    root_val = items.where(F.col("id") == root_id).select(
-        F.col(field).alias("_root_val")
+    straight to root) — broadcast 1-row aggregate + coalesce.
+
+    The root lookup is collapsed to EXACTLY one row via max() (max of one
+    value, or NULL when the root id is absent) so a missing root degrades
+    to "no inheritance" — the same semantics as the oracle's scalar
+    subquery — instead of a 0-row crossJoin dropping every item."""
+    root_val = (
+        items.where(F.col("id") == root_id)
+        .agg(F.max(F.col(field)).alias("_root_val"))
     )
     return (
         items.crossJoin(F.broadcast(root_val))

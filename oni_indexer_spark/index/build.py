@@ -301,11 +301,6 @@ def build_to_path(
         ).write.mode("overwrite").parquet(f"{path}/stats")
         lin.finish("doclen", t0, docs_tokenized=n_docs)
 
-    # Dynamic partition overwrite: each bucket-group's write replaces only
-    # its own bucket=... directories, so a resumed build never clobbers
-    # completed groups and a re-run of a half-written group is idempotent.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     single_pass = bucket_group_size >= cfg.n_buckets
     if single_pass:
         # One postings group covers all buckets: staging the tf table
@@ -353,9 +348,22 @@ def build_to_path(
         blocks = _postings_blocks(tf_g, cfg).observe(
             pobs, F.sum("n").alias("np"), size_metric.alias("nb")
         )
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
-        _dfreq_table(tf_g).write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{path}/dfreq"
+        # Dynamic partition overwrite (per-write option — never leaks into
+        # the caller's session conf): each bucket-group's write replaces
+        # only its own bucket=... directories, so a resumed build never
+        # clobbers completed groups and a re-run of a half-written group
+        # is idempotent.
+        (
+            blocks.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+        (
+            _dfreq_table(tf_g).write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{path}/dfreq")
         )
         lin.finish(
             stage,
@@ -428,6 +436,10 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
     blocks.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
     _dfreq_table(tf).write.mode("append").partitionBy("bucket").parquet(f"{path}/dfreq")
     lin.finish(stage, t0, docs_tokenized=n_docs)
+    # searchers memoize N/avgdl/df; the index just grew under them
+    from oni_indexer_spark.query.bm25 import invalidate_searchers
+
+    invalidate_searchers()
 
 
 def read_index(spark: SparkSession, path: str) -> IndexTables:

@@ -143,6 +143,14 @@ class Searcher:
     ``prune_cost_threshold``: block-max pruning pays 3 extra driver
     round-trips; it only wins when the candidate postings are large, so
     ``prune='auto'`` prunes only when Σ df(term) exceeds this.
+
+    IMMUTABILITY ASSUMPTION: the cached stats/df describe the tables AT
+    CONSTRUCTION. Index segments are append-only (build/append never
+    rewrite rows), and appends produce a NEW IndexTables via read_index —
+    so a Searcher over the old tables object stays self-consistent. If a
+    caller re-queries the same tables object after appending to its
+    backing path, call :meth:`invalidate` (append_to_index calls the
+    module-level :func:`invalidate_searchers` hook for exactly this).
     """
 
     def __init__(self, tables: IndexTables, prune_cost_threshold: int = 200_000):
@@ -150,6 +158,12 @@ class Searcher:
         self.prune_cost_threshold = prune_cost_threshold
         self._stats: tuple[int, float] | None = None
         self._df_cache: dict[str, int] = {}
+
+    def invalidate(self) -> None:
+        """Drop memoized corpus stats / term dfs (call after the backing
+        index path received an append)."""
+        self._stats = None
+        self._df_cache.clear()
 
     def stats(self) -> tuple[int, float]:
         # the stats table may hold one row per appended segment; combine
@@ -215,17 +229,29 @@ class Searcher:
         return _ranked(_scores(p, tables, idf, avgdl, mode, fq), k)
 
 
-# Module-level convenience: one cached Searcher per IndexTables instance.
-# The cache holds a strong ref to the tables, so the id() key stays valid.
+# Module-level convenience: one cached Searcher per IndexTables instance,
+# bounded LRU (strong refs keep the id() keys valid; the bound stops
+# repeated read_index+topk loops from leaking IndexTables objects).
 _SEARCHERS: dict[int, tuple[IndexTables, Searcher]] = {}
+_SEARCHERS_MAX = 8
 
 
 def searcher_for(tables: IndexTables) -> Searcher:
-    hit = _SEARCHERS.get(id(tables))
+    hit = _SEARCHERS.pop(id(tables), None)
     if hit is None or hit[0] is not tables:
         hit = (tables, Searcher(tables))
-        _SEARCHERS[id(tables)] = hit
+    _SEARCHERS[id(tables)] = hit  # re-insert = move to MRU end
+    while len(_SEARCHERS) > _SEARCHERS_MAX:
+        _SEARCHERS.pop(next(iter(_SEARCHERS)))
     return hit[1]
+
+
+def invalidate_searchers() -> None:
+    """Drop all memoized stats/dfs — called by append paths so a Searcher
+    over a tables object whose backing path just grew re-reads N/avgdl/df
+    on its next query."""
+    for _, s in _SEARCHERS.values():
+        s.invalidate()
 
 
 def topk(
@@ -259,6 +285,18 @@ def _blockmax_prune(
     kth score τ; the final pass keeps only blocks whose bound ≥ τ. Any
     dropped doc scores < τ ≤ true kth score, so the top-k is unchanged
     (tests/test_wand.py).
+
+    Scale shape (no driver collects, no unpartitioned window): the τ
+    candidate set is the top-k blocks by bound — a TakeOrderedAndProject
+    (every block holds ≥1 posting, so k blocks always cover ≥ k docs) —
+    and τ enters the keep-filter as a broadcast 1-row scalar. At 10^12
+    docs a hot term has ~10^10 blocks; all stages here are partial-agg +
+    TakeOrdered, nothing funnels through one task.
+
+    Rounding guard: final ranking orders by (round(score,6), doc_id), so
+    a pruned doc whose raw score rounds INTO a tie with the kth score
+    could win the doc_id tie-break. Blocks are kept at
+    ub ≥ round(τ,6) − 1e-6 — conservative below the rounding grid.
     """
     cfg = tables.cfg
     idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
@@ -268,25 +306,25 @@ def _blockmax_prune(
     bounds = (
         p.withColumn("ub1", block_ub)
         .groupBy("block_id")
-        .agg(F.sum("ub1").alias("ub"), F.sum("n").alias("ncap"))
+        .agg(F.sum("ub1").alias("ub"))
     )
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc("ub"), F.asc("block_id")).rowsBetween(W.unboundedPreceding, -1)
-    cand = (
-        bounds.withColumn("prev_cap", F.coalesce(F.sum("ncap").over(w), F.lit(0)))
-        .where(F.col("prev_cap") < k)
-        .select("block_id", "ub")
+    cand_blocks = bounds.orderBy(F.desc("ub"), F.asc("block_id")).limit(k).select("block_id")
+    cand_scores = _scores(
+        p.join(F.broadcast(cand_blocks), "block_id", "left_semi"),
+        tables, idf, avgdl, "or", None,
     )
-    cand_ids = [r["block_id"] for r in cand.select("block_id").collect()]
-    if not cand_ids:
-        return p
-    cand_scores = _scores(p.where(F.col("block_id").isin(cand_ids)), tables, idf, avgdl, "or", None)
-    kth_rows = cand_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    if len(kth_rows) < k:
-        return p  # not enough distinct candidates to establish a threshold
-    tau = kth_rows[-1]["score"]
-    keep = bounds.where(F.col("ub") >= tau).select("block_id")
+    # τ = kth candidate score, as a broadcastable 1-row frame (nk < k
+    # means no threshold could be established: keep everything).
+    tau_df = (
+        cand_scores.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .agg(F.count(F.lit(1)).alias("nk"), F.min("score").alias("tau"))
+    )
+    keep = (
+        bounds.join(F.broadcast(tau_df))
+        .where((F.col("nk") < k) | (F.col("ub") >= F.round(F.col("tau"), 6) - 1e-6))
+        .select("block_id")
+    )
     return p.join(F.broadcast(keep), "block_id", "left_semi")
 
 

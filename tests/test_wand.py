@@ -72,3 +72,21 @@ def test_prune_actually_prunes(spark):
 
     a = [(r["rank"], r["doc_id"]) for r in topk(t, "needle", k=1, prune=True).collect()]
     assert a == [(1, 7)]
+
+
+def test_pruned_plan_has_no_unpartitioned_window(spark):
+    """Scale guard (VERDICT r1 #6): the pruned plan must not funnel block
+    bounds through a global Window — τ selection is TakeOrdered + a
+    broadcast scalar."""
+    rows = [(i, f"needle tok_{i} tok_{i+1} filler_{i % 7}") for i in range(128)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    t = build_index(df, IndexConfig(block_size=16, n_buckets=4))
+    plan = (
+        topk(t, "needle", k=3, prune=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # _ranked's final row_number over an already-limited k-row frame is
+    # fine; the prune path itself must contribute no Window at all — so
+    # the whole plan carries at most that single one.
+    assert plan.count("Window") <= 1
+    assert "TakeOrderedAndProject" in plan
