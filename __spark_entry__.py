@@ -26,7 +26,7 @@ from oni_indexer_spark.ops import dedup as _ops_dedup
 from oni_indexer_spark.ops import multimodal as _mm
 from oni_indexer_spark.ops import similarity as _ops_sim
 from oni_indexer_spark.ops import text as _ops_text
-from oni_indexer_spark.index import IndexConfig, IndexTables, build_index
+from oni_indexer_spark.index import IndexConfig, IndexTables
 from oni_indexer_spark.query import facet_counts, topk
 
 _CFG = IndexConfig(block_size=64, n_buckets=8)
@@ -38,13 +38,36 @@ _INDEX_CACHE: dict[str, IndexTables] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """Materialized-index path: build_to_path (varint blobs, lineage,
+    bucket-partitioned parquet) + read_index — so every bm25/dfreq/doclen
+    correctness row exercises the parquet round-trip, partition pruning
+    and lineage, not just the in-memory plan."""
+    import tempfile
+
+    from oni_indexer_spark.index import build_to_path, read_index
     from oni_indexer_spark.session import ship_package
 
     ship_package(spark)  # driver-owned sessions: make UDFs importable on workers
     t = _INDEX_CACHE.get(sf_dir)
     if t is None:
         docs = from_driver_documents(spark, sf_dir)
-        t = build_index(docs, _CFG)
+        # key the on-disk cache by the source data's mtime so a
+        # regenerated testdata dir never resumes over a stale index
+        try:
+            src_tag = str(int(os.path.getmtime(f"{sf_dir}/documents.parquet")))
+        except OSError:
+            src_tag = "0"
+        from oni_indexer_spark.index import INDEX_FORMAT_VERSION
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "oni_entry_index_v%d_%s_%s"
+            % (INDEX_FORMAT_VERSION, sf_dir.strip("/").replace("/", "_"), src_tag),
+        )
+        # resume=True: a half-written index from a crashed run self-heals;
+        # a completed one is reused across driver invocations.
+        build_to_path(docs, path, _CFG, bucket_group_size=_CFG.n_buckets, resume=True)
+        t = read_index(spark, path)
         t.postings.cache().count()
         t.dfreq.cache().count()
         t.doclen.cache().count()

@@ -33,6 +33,12 @@ ITEMS: list[tuple] = [
     ("s2", ["Sentence"], "Sentence Two", None, None, None, None),
     ("pl1", ["Place"], "Melbourne", None, None, None, None),
     ("pl2", ["Place"], "London", None, None, None, None),
+    # subject codes for the B10 match-clause split (reference FOR/SEO:
+    # test-data/fields-index-matching.json, test/ro-crate.spec.js:64-94)
+    ("anzsrc-for-0801", ["DefinedTerm"], "Artificial Intelligence", None, None, None, None),
+    ("anzsrc-for-0806", ["DefinedTerm"], "Information Systems", None, None, None, None),
+    ("anzsrc-seo-970108", ["DefinedTerm"], "Expanding Knowledge", None, None, None, None),
+    ("topic-misc", ["DefinedTerm"], "Uncategorised", None, None, None, None),
 ]
 
 # (src, property, dst)
@@ -47,6 +53,12 @@ EDGES: list[tuple[str, str, str]] = [
     ("p3", "conviction", "s2"),
     ("s1", "location", "pl1"),
     ("s2", "location", "pl2"),
+    ("d1", "about", "anzsrc-for-0801"),
+    ("d1", "about", "anzsrc-for-0806"),
+    ("d1", "about", "anzsrc-seo-970108"),
+    ("d1", "about", "topic-misc"),
+    ("d2", "about", "anzsrc-for-0806"),
+    ("d2", "about", "anzsrc-seo-970108"),
 ]
 
 ITEMS_SCHEMA = (

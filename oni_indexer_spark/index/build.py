@@ -4,8 +4,9 @@ The reference posts flat docs to Solr and lets Lucene build the index
 (``oni-indexer.js:256-269``; SURVEY.md §2.C2-C3). This module builds the
 same artifacts natively as Spark tables:
 
-- ``postings(term, bucket, block_id, n, block_max_tf, block_min_dl,
-  blob|plist)``
+- ``postings(tid, bucket, block_id, n, block_max_tf, block_min_dl,
+  blob|plist)`` — keyed by ``tid = xxhash64(term)``; exact term strings
+  live in dfreq (build verifies tid injectivity per corpus)
 - ``doclen(doc_id, repo, path, lang, dl, content_sha256)``  (doc store +
   length norms + the per-row sha256 invariant from BASELINE.json)
 - ``dfreq(term, df, cf)``  (document frequency / collection frequency)
@@ -53,6 +54,12 @@ from pyspark.sql import types as T
 
 from oni_indexer_spark.analyzer import tokens_col
 from oni_indexer_spark.index import lineage as L
+
+
+# On-disk layout version: bump when the postings/dfreq schema changes so
+# long-lived index paths are never read with mismatched code (v2 = tid-
+# keyed postings; v1 carried term strings).
+INDEX_FORMAT_VERSION = 2
 
 
 @dataclass(frozen=True)
@@ -113,15 +120,25 @@ def _doclen_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 _BLOCKS_OUT_SCHEMA = (
-    "term string, bucket int, block_id long, n int,"
-    " block_max_tf int, block_min_dl int, blob binary"
+    "tid long, block_id long, n int, block_max_tf int, block_min_dl int, blob binary"
 )
 
 
-def _encode_sorted_batches(batches):
-    """Sort-based block encoder: consumes (term, bucket, block_id, doc_id,
-    tf, dl) rows SORTED by (term, block_id, doc_id) within the partition
-    and emits one encoded row per (term, block_id) group.
+def _make_sorted_encoder(block_size: int):
+    """Sort-based block encoder factory: the returned generator consumes
+    (tid, doc_id, tf, dl) rows SORTED by (tid, doc_id) within the
+    partition and emits one encoded row per (tid, block_id) group, where
+    ``block_id = doc_id // block_size`` is DERIVED here rather than
+    shipped as a column.
+
+    Scaling rationale (round-2 event-log diagnosis): the postings reduce
+    stage is memory-bandwidth bound — its total CPU inflated +67% from
+    local[4] to local[16] on identical work — so every byte through
+    shuffle + sort + the Arrow boundary costs twice. Postings rows
+    therefore carry ``tid = xxhash64(term)`` (8 fixed bytes, radix-
+    sortable prefix) instead of the term string, and no bucket/block_id
+    columns (both derive from tid/doc_id). Measured at 1M docs: postings
+    stage 118s→81s (local[4]), 54s→41s (local[16]).
 
     Group boundaries are found vectorized (shifted not-equal); a group
     whose tail continues into the next Arrow batch is carried over. The
@@ -129,70 +146,70 @@ def _encode_sorted_batches(batches):
     collect_list / sort_array object churn (event-log measured: the
     agg-based path spent 114s of GC in the map stage alone at 1M docs).
     """
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
-    from oni_indexer_spark.index.codec import encode_postings_flat
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
 
-    carry: pa.RecordBatch | None = None
+        from oni_indexer_spark.index.codec import encode_postings_flat
 
-    def emit(b: pa.RecordBatch, starts: "np.ndarray") -> pa.RecordBatch:
-        idx = {n: i for i, n in enumerate(b.schema.names)}
-        docs = b.column(idx["doc_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
-        tfs = b.column(idx["tf"]).to_numpy(zero_copy_only=False).astype(np.int64)
-        dls = b.column(idx["dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
-        ends = np.append(starts[1:], len(b))
-        counts = ends - starts
-        blobs = encode_postings_flat(docs, tfs, dls, counts)
-        take = pa.array(starts)
-        return pa.RecordBatch.from_arrays(
-            [
-                b.column(idx["term"]).take(take),
-                b.column(idx["bucket"]).take(take),
-                b.column(idx["block_id"]).take(take),
-                pa.array(counts.astype(np.int32), type=pa.int32()),
-                pa.array(np.maximum.reduceat(tfs, starts).astype(np.int32), type=pa.int32()),
-                pa.array(np.minimum.reduceat(dls, starts).astype(np.int32), type=pa.int32()),
-                pa.array(blobs, type=pa.binary()),
-            ],
-            names=["term", "bucket", "block_id", "n", "block_max_tf", "block_min_dl", "blob"],
-        )
+        carry: pa.RecordBatch | None = None
 
-    def boundaries(b: pa.RecordBatch) -> "np.ndarray":
+        def emit(b: pa.RecordBatch, starts: "np.ndarray") -> pa.RecordBatch:
+            idx = {n: i for i, n in enumerate(b.schema.names)}
+            docs = b.column(idx["doc_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            tfs = b.column(idx["tf"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = b.column(idx["dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            ends = np.append(starts[1:], len(b))
+            counts = ends - starts
+            blobs = encode_postings_flat(docs, tfs, dls, counts)
+            take = pa.array(starts)
+            return pa.RecordBatch.from_arrays(
+                [
+                    b.column(idx["tid"]).take(take),
+                    pa.array(docs[starts] // block_size, type=pa.int64()),
+                    pa.array(counts.astype(np.int32), type=pa.int32()),
+                    pa.array(np.maximum.reduceat(tfs, starts).astype(np.int32), type=pa.int32()),
+                    pa.array(np.minimum.reduceat(dls, starts).astype(np.int32), type=pa.int32()),
+                    pa.array(blobs, type=pa.binary()),
+                ],
+                names=["tid", "block_id", "n", "block_max_tf", "block_min_dl", "blob"],
+            )
+
+        def boundaries(b: pa.RecordBatch) -> "np.ndarray":
+            import numpy as np
+
+            n = len(b)
+            idx = {nm: i for i, nm in enumerate(b.schema.names)}
+            tid = b.column(idx["tid"]).to_numpy(zero_copy_only=False)
+            blk = b.column(idx["doc_id"]).to_numpy(zero_copy_only=False) // block_size
+            if n == 1:
+                return np.array([0], dtype=np.int64)
+            neq = (tid[1:] != tid[:-1]) | (blk[1:] != blk[:-1])
+            return np.concatenate(([0], np.nonzero(neq)[0] + 1)).astype(np.int64)
+
         import numpy as np
 
-        n = len(b)
-        idx = {nm: i for i, nm in enumerate(b.schema.names)}
-        term = b.column(idx["term"])
-        blk = b.column(idx["block_id"])
-        if n == 1:
-            return np.array([0], dtype=np.int64)
-        neq = pc.or_(
-            pc.not_equal(term.slice(1), term.slice(0, n - 1)),
-            pc.not_equal(blk.slice(1), blk.slice(0, n - 1)),
-        ).to_numpy(zero_copy_only=False)
-        return np.concatenate(([0], np.nonzero(neq)[0] + 1)).astype(np.int64)
+        for b in batches:
+            if carry is not None:
+                b = pa.Table.from_batches([carry, b]).combine_chunks().to_batches()[0]
+                carry = None
+            if len(b) == 0:
+                continue
+            starts = boundaries(b)
+            last_start = int(starts[-1])
+            carry = b.slice(last_start)
+            if last_start > 0:
+                yield emit(b.slice(0, last_start), starts[:-1])
+        if carry is not None and len(carry) > 0:
+            yield emit(carry, np.array([0], dtype=np.int64))
 
-    import numpy as np
-
-    for b in batches:
-        if carry is not None:
-            b = pa.Table.from_batches([carry, b]).combine_chunks().to_batches()[0]
-            carry = None
-        if len(b) == 0:
-            continue
-        starts = boundaries(b)
-        last_start = int(starts[-1])
-        carry = b.slice(last_start)
-        if last_start > 0:
-            yield emit(b.slice(0, last_start), starts[:-1])
-    if carry is not None and len(carry) > 0:
-        yield emit(carry, np.array([0], dtype=np.int64))
+    return encode
 
 
 def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Turn the tf table into encoded doc-range block rows.
+    """Turn the tf table into encoded doc-range block rows keyed by
+    ``tid = xxhash64(term)``.
 
     Block-max metadata is stored avgdl-INDEPENDENT as (block_max_tf,
     block_min_dl): BM25 saturation is increasing in tf and decreasing in
@@ -200,27 +217,39 @@ def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
     per-block score bound even after later appends shift avgdl — appended
     segments never invalidate existing pruning metadata.
 
-    Compressed path (default): shuffle-sort the raw tf rows by
-    (term, block_id, doc_id) and run one linear numpy pass per partition
+    Compressed path (default): shuffle-sort slim (tid, doc_id, tf, dl)
+    rows by (tid, doc_id) and run one linear numpy pass per partition
     (sort-based grouping — Lucene's segment flush is the same shape).
     Rows leave the encoder already sorted, so the parquet row groups get
-    term-clustered min/max stats for free. The agg path (collect_list +
-    sort_array) remains for ``compress=False`` debug builds.
+    tid-clustered min/max stats for free. The term STRING never enters
+    the shuffle/sort/Arrow path (see _make_sorted_encoder); exact strings
+    live in the dfreq table, and build_to_path verifies tid uniqueness
+    against it, so a (cosmically unlikely, 2^-64/pair) hash collision
+    fails the build loudly instead of silently merging two terms.
+    The agg path (collect_list + sort_array) remains for
+    ``compress=False`` debug builds.
     """
-    tfb = tf.withColumn("block_id", F.floor(F.col("doc_id") / cfg.block_size).cast("long"))
+    slim = tf.select(F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl")
+    bucket = F.pmod(F.col("tid"), F.lit(cfg.n_buckets)).cast("int").alias("bucket")
     if not cfg.compress:
-        return tfb.groupBy("term", "bucket", "block_id").agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
-            F.count(F.lit(1)).cast("int").alias("n"),
-            F.max("tf").cast("int").alias("block_max_tf"),
-            F.min("dl").cast("int").alias("block_min_dl"),
+        return (
+            slim.withColumn(
+                "block_id", F.floor(F.col("doc_id") / cfg.block_size).cast("long")
+            )
+            .groupBy("tid", "block_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
+                F.count(F.lit(1)).cast("int").alias("n"),
+                F.max("tf").cast("int").alias("block_max_tf"),
+                F.min("dl").cast("int").alias("block_min_dl"),
+            )
+            .select("tid", "block_id", "n", "block_max_tf", "block_min_dl", "plist", bucket)
         )
-    pre = (
-        tfb.select("term", "bucket", "block_id", "doc_id", "tf", "dl")
-        .repartition("term", "block_id")
-        .sortWithinPartitions("term", "block_id", "doc_id")
-    )
-    return pre.mapInArrow(_encode_sorted_batches, _BLOCKS_OUT_SCHEMA)
+    pre = slim.repartition(
+        F.col("tid"), F.floor(F.col("doc_id") / cfg.block_size)
+    ).sortWithinPartitions("tid", "doc_id")
+    blocks = pre.mapInArrow(_make_sorted_encoder(cfg.block_size), _BLOCKS_OUT_SCHEMA)
+    return blocks.withColumn("bucket", bucket)
 
 
 def _dfreq_table(tf: DataFrame) -> DataFrame:
@@ -301,32 +330,27 @@ def build_to_path(
         ).write.mode("overwrite").parquet(f"{path}/stats")
         lin.finish("doclen", t0, docs_tokenized=n_docs)
 
-    single_pass = bucket_group_size >= cfg.n_buckets
-    if single_pass:
-        # One postings group covers all buckets: staging the tf table
-        # would be a pure pass-through (a multi-GB parquet write + read
-        # for no pruning benefit), so postings build straight from the
-        # corpus. Multi-group builds (finer resume granularity / bounded
-        # working set at very large scale) keep the staged path below.
-        tf_staged = _tf_table(docs, cfg)
-        groups = [list(range(cfg.n_buckets))]
-    else:
-        if not (resume and lin.is_done("tf_stage")):
-            t0 = lin.start("tf_stage")
-            tf = _tf_table(docs, cfg)
-            (
-                tf.repartition(cfg.n_buckets, "bucket")
-                .sortWithinPartitions("term", "doc_id")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{path}/tf_stage")
-            )
-            lin.finish("tf_stage", t0)
-        tf_staged = spark.read.parquet(f"{path}/tf_stage")
-        groups = [
-            list(range(g, min(g + bucket_group_size, cfg.n_buckets)))
-            for g in range(0, cfg.n_buckets, bucket_group_size)
-        ]
+    # The tf table is ALWAYS staged: postings and dfreq both derive from
+    # it, and an unmaterialized plan would re-run the tokenize scan (the
+    # expensive pass over the full corpus) once per consumer — measured
+    # at 1M docs: staging costs ~25s (write+read) vs ~40s for one extra
+    # tokenize+agg, and it buys resume granularity + term-pruned reads.
+    if not (resume and lin.is_done("tf_stage")):
+        t0 = lin.start("tf_stage")
+        tf = _tf_table(docs, cfg)
+        (
+            tf.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/tf_stage")
+        )
+        lin.finish("tf_stage", t0)
+    tf_staged = spark.read.parquet(f"{path}/tf_stage")
+    groups = [
+        list(range(g, min(g + bucket_group_size, cfg.n_buckets)))
+        for g in range(0, cfg.n_buckets, bucket_group_size)
+    ]
     for group in groups:
         stage = f"postings_g{group[0]:04d}"
         if resume and lin.is_done(stage):
@@ -372,8 +396,28 @@ def build_to_path(
             bytes_compressed=int(pobs.get["nb"] or 0),
         )
 
+    if not (resume and lin.is_done("tid_check")):
+        # Postings are keyed by tid = xxhash64(term); dfreq keeps the
+        # exact strings. Verify injectivity over THIS corpus's vocabulary
+        # so a collision fails the build instead of silently merging two
+        # terms' postings (P ≈ n_terms²/2^65 — never expected to fire).
+        t0 = lin.start("tid_check")
+        row = (
+            spark.read.parquet(f"{path}/dfreq")
+            .agg(
+                F.countDistinct("term").alias("nt"),
+                F.countDistinct(F.xxhash64("term")).alias("nh"),
+            )
+            .collect()[0]
+        )
+        if int(row["nt"]) != int(row["nh"]):
+            raise RuntimeError(
+                f"xxhash64 term-id collision: {row['nt']} terms -> {row['nh']} tids"
+            )
+        lin.finish("tid_check", t0, terms=int(row["nt"]))
     lin.write_meta(
         {
+            "format": INDEX_FORMAT_VERSION,
             "k1": cfg.k1,
             "b": cfg.b,
             "block_size": cfg.block_size,
@@ -444,6 +488,12 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
 
 def read_index(spark: SparkSession, path: str) -> IndexTables:
     meta = L.Lineage(spark, path).read_meta()
+    fmt = meta.get("format", 1)
+    if fmt != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index at {path} has on-disk format v{fmt}; this engine reads "
+            f"v{INDEX_FORMAT_VERSION} — rebuild with build_to_path"
+        )
     cfg = IndexConfig(
         k1=meta["k1"],
         b=meta["b"],

@@ -52,6 +52,9 @@ class Lineage:
             "postings_emitted": int(metrics.get("postings_emitted", 0)),
             "bytes_compressed": int(metrics.get("bytes_compressed", 0)),
         }
+        for k, v in metrics.items():  # extra stage-specific metrics
+            if k not in rec:
+                rec[k] = int(v)
         self._write(stage, rec)
 
     def _write(self, stage: str, rec: dict) -> None:

@@ -41,7 +41,7 @@ def tfn_expr(tf: Column, dl: Column, avgdl: float, k1: float, b: float) -> Colum
 
 def _decode_map_arrow(batches):
     """mapInArrow decoder: one vectorized numpy pass per Arrow batch,
-    emitting already-EXPLODED (term, doc_id, tf, dl) rows — no pandas
+    emitting already-EXPLODED (tid, doc_id, tf, dl) rows — no pandas
     conversion, no JVM-side arrays_zip/explode."""
     import numpy as np
     import pyarrow as pa
@@ -52,26 +52,26 @@ def _decode_map_arrow(batches):
         idx = {n: i for i, n in enumerate(b.schema.names)}
         blobs = b.column(idx["blob"]).to_pylist()
         doc_ids, tfs, dls, counts = decode_postings_flat(blobs)
-        term_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), counts)
+        tid_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), counts)
         yield pa.RecordBatch.from_arrays(
             [
-                b.column(idx["term"]).take(pa.array(term_idx)),
+                b.column(idx["tid"]).take(pa.array(tid_idx)),
                 pa.array(doc_ids, type=pa.int64()),
                 pa.array(tfs, type=pa.int32()),
                 pa.array(dls, type=pa.int32()),
             ],
-            names=["term", "doc_id", "tf", "dl"],
+            names=["tid", "doc_id", "tf", "dl"],
         )
 
 
 def _decoded(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(term, doc_id, tf, dl) rows from (possibly compressed) block rows."""
+    """(tid, doc_id, tf, dl) rows from (possibly compressed) block rows."""
     if cfg.compress:
-        return postings.select("term", "blob").mapInArrow(
-            _decode_map_arrow, "term string, doc_id long, tf int, dl int"
+        return postings.select("tid", "blob").mapInArrow(
+            _decode_map_arrow, "tid long, doc_id long, tf int, dl int"
         )
-    return postings.select("term", F.explode("plist").alias("p")).select(
-        "term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl")
+    return postings.select("tid", F.explode("plist").alias("p")).select(
+        "tid", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl")
     )
 
 
@@ -92,17 +92,18 @@ def _empty_result(tables: IndexTables) -> DataFrame:
 def _scores(
     postings_subset: DataFrame,
     tables: IndexTables,
-    idf: dict[str, float],
+    idf: dict[int, float],
     avgdl: float,
     mode: str,
     fq: dict[str, str] | None,
 ) -> DataFrame:
-    """Exact (doc_id, score) for every doc present in the postings subset."""
+    """Exact (doc_id, score) for every doc present in the postings subset.
+    ``idf`` is keyed by tid (the postings key)."""
     cfg = tables.cfg
     rows = _decoded(postings_subset, cfg)
     idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
     per_term = rows.withColumn(
-        "s", idf_map[F.col("term")] * tfn_expr(F.col("tf"), F.col("dl"), avgdl, cfg.k1, cfg.b)
+        "s", idf_map[F.col("tid")] * tfn_expr(F.col("tf"), F.col("dl"), avgdl, cfg.k1, cfg.b)
     )
     agg = per_term.groupBy("doc_id").agg(
         F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_terms_hit")
@@ -214,13 +215,18 @@ class Searcher:
         dfs = self.term_dfs(terms)
         if not dfs or (mode == "and" and len(dfs) < len(terms)):
             return _empty_result(tables)
+        from oni_indexer_spark.hashing import xxhash64_str
+
+        present = list(dfs)
+        # postings are tid-keyed; term → tid driver-side (exact xxhash64
+        # twin, tests/test_hashing.py), no Spark job
         idf = {
-            t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
+            xxhash64_str(t): math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+            for t, d in dfs.items()
         }
-        present = list(idf)
         buckets = _buckets_for(tables, present)
         p = tables.postings.where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(present)
+            F.col("bucket").isin(buckets) & F.col("tid").isin(list(idf))
         )
         if prune == "auto":
             prune = sum(dfs.values()) > self.prune_cost_threshold
@@ -269,7 +275,7 @@ def topk(
 def _blockmax_prune(
     p: DataFrame,
     tables: IndexTables,
-    idf: dict[str, float],
+    idf: dict[int, float],
     avgdl: float,
     k: int,
 ) -> DataFrame:
@@ -300,7 +306,7 @@ def _blockmax_prune(
     """
     cfg = tables.cfg
     idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
-    block_ub = idf_map[F.col("term")] * tfn_expr(
+    block_ub = idf_map[F.col("tid")] * tfn_expr(
         F.col("block_max_tf"), F.col("block_min_dl"), avgdl, cfg.k1, cfg.b
     )
     bounds = (

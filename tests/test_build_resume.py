@@ -79,15 +79,11 @@ def test_bucket_pruning_in_plan(spark, index_path):
     disk = read_index(spark, index_path)
     from pyspark.sql import functions as F
 
-    from oni_indexer_spark.index.build import term_bucket
+    from oni_indexer_spark.hashing import term_bucket_py, xxhash64_str
 
-    b = (
-        spark.createDataFrame([("the",)], "term string")
-        .select(term_bucket(F.col("term"), CFG.n_buckets))
-        .collect()[0][0]
-    )
+    b = term_bucket_py("the", CFG.n_buckets)
     plan = (
-        disk.postings.where((F.col("bucket") == b) & (F.col("term") == "the"))
+        disk.postings.where((F.col("bucket") == b) & (F.col("tid") == xxhash64_str("the")))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

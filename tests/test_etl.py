@@ -56,7 +56,9 @@ def test_validate_re(spark, items):
 
 def test_skip_and_limit(spark, items):
     got = admin.apply_skip_and_limit(items, skip_ids=["d1", "p1"], limit=3, id_col="id")
-    assert [r["id"] for r in got.collect()] == ["d2", "d3", "o1"]
+    assert [r["id"] for r in got.collect()] == [
+        "anzsrc-for-0801", "anzsrc-for-0806", "anzsrc-seo-970108",
+    ]
 
 
 def test_quarantine_invalid(spark):

@@ -35,8 +35,8 @@ def _plan(df) -> str:
 def test_query_plan_shape(disk_index):
     plan = _plan(topk(disk_index, "hash join", k=10, prune=False))
     assert "PartitionFilters: [bucket" in plan
-    assert "PushedFilters: [In(term" in plan
-    assert "ReadSchema: struct<term:string,blob:binary>" in plan
+    assert "PushedFilters: [In(tid" in plan
+    assert "ReadSchema: struct<tid:bigint,blob:binary>" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange") == 1  # only the doc_id score aggregation

@@ -63,7 +63,11 @@ def test_prune_actually_prunes(spark):
     dfs = s.term_dfs(["needle"])
     idf = {k: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for k, d in dfs.items()}
     buckets = _buckets_for(t, ["needle"])
-    p = t.postings.where(F.col("bucket").isin(buckets) & (F.col("term") == "needle"))
+    from oni_indexer_spark.hashing import xxhash64_str
+
+    tid = xxhash64_str("needle")
+    idf = {tid: idf["needle"]}
+    p = t.postings.where(F.col("bucket").isin(buckets) & (F.col("tid") == tid))
     total = p.count()
     pruned = _blockmax_prune(p, t, idf, avgdl, 1).count()
     assert pruned < total
