@@ -154,6 +154,42 @@ def _q_copyfield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overwrite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 same-id overwrite: build, re-index every doc_id%97==0 doc with
+    a marker token appended, and answer BM25 through the rewritten index.
+    The oracle computes over the equivalently-modified corpus, so any
+    stale posting / dfreq / stats row hash-mismatches."""
+    import tempfile
+
+    from oni_indexer_spark.index import (
+        INDEX_FORMAT_VERSION,
+        build_to_path,
+        overwrite_docs,
+        read_index,
+    )
+    from oni_indexer_spark.session import ship_package
+
+    ship_package(spark)
+    try:
+        src_tag = str(int(os.path.getmtime(f"{sf_dir}/documents.parquet")))
+    except OSError:
+        src_tag = "0"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "oni_entry_ovr_v%d_%s_%s"
+        % (INDEX_FORMAT_VERSION, sf_dir.strip("/").replace("/", "_"), src_tag),
+    )
+    docs = from_driver_documents(spark, sf_dir)
+    build_to_path(docs, path, _CFG, bucket_group_size=_CFG.n_buckets, resume=True)
+    changed = docs.where(F.col("doc_id") % 97 == 0).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" zz_overwrite_marker"))
+    )
+    overwrite_docs(changed, path, batch_id="entry_c11")
+    return _rounded(
+        topk(read_index(spark, path), "zz_overwrite_marker the", k=10)
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact dedup: keep min doc_id per identical content hash
     return (
@@ -342,6 +378,55 @@ def _q_etl_resolve_single(spark, sf_dir):
     )
 
 
+def _q_etl_ingest_items(spark, sf_dir):
+    # A2: JSON-LD @graph ingestion via Spark VARIANT
+    from oni_indexer_spark.etl import fixture, ingest
+
+    return ingest.ingest_items(fixture.spark_crate(spark)).select(
+        "id",
+        F.array_join("types", ",").alias("types"),
+        "name",
+        "description",
+        "license",
+        "date_published",
+        "keywords",
+    )
+
+
+def _q_etl_ingest_edges(spark, sf_dir):
+    from oni_indexer_spark.etl import fixture, ingest
+
+    return ingest.ingest_edges(fixture.spark_crate(spark)).select(
+        "src", "property", "dst"
+    )
+
+
+def _q_etl_unwrap_json(spark, sf_dir):
+    # B7 unwrap with the JSON-stringify fallback for nameless targets
+    from oni_indexer_spark.etl import fixture, ingest
+
+    crate = fixture.spark_crate(spark)
+    return ingest.unwrap_display(
+        ingest.ingest_items(crate), ingest.ingest_edges(crate),
+        "address", "address_display",
+    )
+
+
+def _q_etl_match_multi(spark, sf_dir):
+    # B10: FOR/SEO split of 'about' (lib/ROCrateIndexer.js:398-414)
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.match_multi(
+        fixture.spark_items(spark),
+        fixture.spark_edges(spark),
+        "about",
+        [
+            {"match": {"id": {"re": "anzsrc-for"}}, "index_as": "FOR"},
+            {"match": {"id": {"re": "anzsrc-seo"}}, "index_as": "SEO"},
+        ],
+    )
+
+
 def _q_etl_type_dispatch(spark, sf_dir):
     from oni_indexer_spark.etl import fixture, ops
 
@@ -362,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_k100": _q_bm25("the scan", k=100),
         # forced block-max-pruned path (lossless => same oracle as unpruned)
         "bm25_pruned_topk": _q_bm25("the scan join", k=10, prune=True),
+        "c11_overwrite_topk": _q_overwrite_topk,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "corpus_stats": _q_stats,
@@ -390,6 +476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_type_dispatch": _q_etl_type_dispatch,
         "etl_uri_id": _q_etl_uri_id,
         "etl_resolve_single": _q_etl_resolve_single,
+        "etl_match_multi": _q_etl_match_multi,
+        "etl_ingest_items": _q_etl_ingest_items,
+        "etl_ingest_edges": _q_etl_ingest_edges,
+        "etl_unwrap_json": _q_etl_unwrap_json,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
         "multimodal_features": _q_multimodal,
@@ -406,6 +496,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_zero_result": oracle.bm25_topk_sql("zzz_not_in_corpus", k=10),
         "bm25_k100": oracle.bm25_topk_sql("the scan", k=100),
         "bm25_pruned_topk": oracle.bm25_topk_sql("the scan join", k=10),
+        "c11_overwrite_topk": oracle.bm25_topk_sql(
+            "zz_overwrite_marker the",
+            k=10,
+            text_col=(
+                "concat(text, CASE WHEN doc_id % 97 = 0"
+                " THEN ' zz_overwrite_marker' ELSE '' END)"
+            ),
+        ),
         "term_dfreq": oracle.dfreq_sql(_DF_TERMS),
         "doclen_sha256": oracle.doclen_sql(),
         "corpus_stats": oracle.stats_sql(),
@@ -443,6 +541,10 @@ def oracle_sql() -> dict[str, str]:
         "etl_type_dispatch": _etl_oracle.type_dispatch_sql(),
         "etl_uri_id": _etl_oracle.uri_id_sql(),
         "etl_resolve_single": _etl_oracle.resolve_single_sql(),
+        "etl_match_multi": _etl_oracle.match_multi_sql(),
+        "etl_ingest_items": _etl_oracle.ingest_items_sql(),
+        "etl_ingest_edges": _etl_oracle.ingest_edges_sql(),
+        "etl_unwrap_json": _etl_oracle.unwrap_json_sql(),
         "dedup_minhash_lsh": _ops_dedup.minhash_lsh_pairs_sql(
             n_hashes=12, bands=4, threshold=0.3
         ),

@@ -39,6 +39,8 @@ ITEMS: list[tuple] = [
     ("anzsrc-for-0806", ["DefinedTerm"], "Information Systems", None, None, None, None),
     ("anzsrc-seo-970108", ["DefinedTerm"], "Expanding Knowledge", None, None, None, None),
     ("topic-misc", ["DefinedTerm"], "Uncategorised", None, None, None, None),
+    # nameless entity: exercises B7's JSON-stringify fallback
+    ("w-addr1", ["PostalAddress"], None, "221B Baker St", None, None, None),
 ]
 
 # (src, property, dst)
@@ -59,6 +61,7 @@ EDGES: list[tuple[str, str, str]] = [
     ("d1", "about", "topic-misc"),
     ("d2", "about", "anzsrc-for-0806"),
     ("d2", "about", "anzsrc-seo-970108"),
+    ("pl2", "address", "w-addr1"),
 ]
 
 ITEMS_SCHEMA = (
@@ -74,6 +77,50 @@ def spark_items(spark: SparkSession) -> DataFrame:
 
 def spark_edges(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(EDGES, EDGES_SCHEMA)
+
+
+def jsonld_crate() -> str:
+    """The SAME fixture rendered as a single RO-Crate JSON-LD ``@graph``
+    string (the reference's primary input shape,
+    ``lib/ROCrateIndexer.js:242-254``; ``test-data/CATALOG.json:31-44``).
+
+    Keys are sorted and the output minified: Spark's VARIANT re-serializes
+    with recursively sorted keys, DuckDB's JSON preserves input order —
+    pre-sorting makes B7's JSON-stringify fallback byte-identical across
+    engines. The root's license is emitted as a link object
+    ``{"@id": ...}`` (not a plain string) to exercise ingest's coalesce;
+    single links stay objects, multi-links become arrays, and multi-type
+    entities use @type arrays — all four JSON-LD shape variations."""
+    import json as _json
+
+    by_src: dict[str, dict[str, list[str]]] = {}
+    for src, prop, dst in EDGES:
+        by_src.setdefault(src, {}).setdefault(prop, []).append(dst)
+    graph = []
+    for id_, types, name, desc, lic, date_pub, kw in ITEMS:
+        ent: dict = {"@id": id_, "@type": types if len(types) > 1 else types[0]}
+        if name is not None:
+            ent["name"] = name
+        if desc is not None:
+            ent["description"] = desc
+        if lic is not None:
+            ent["license"] = {"@id": lic} if id_ == ROOT_ID else lic
+        if date_pub is not None:
+            ent["datePublished"] = date_pub
+        if kw is not None:
+            ent["keywords"] = kw
+        for prop, dsts in by_src.get(id_, {}).items():
+            links = [{"@id": d} for d in dsts]
+            ent[prop] = links if len(links) > 1 else links[0]
+        graph.append(ent)
+    crate = {"@context": "https://w3id.org/ro/crate/1.1/context", "@graph": graph}
+    return _json.dumps(crate, sort_keys=True, separators=(",", ":"))
+
+
+def spark_crate(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("crate1", jsonld_crate())], "crate_id string, jsonld string"
+    )
 
 
 def _sql_lit(v) -> str:

@@ -138,6 +138,52 @@ def resolve_via(
     )
 
 
+# --- B10: match-partitioned multi-index (lib/ROCrateIndexer.js:398-414,
+#     513-536; doc/Solr_config.md §match; test/ro-crate.spec.js:64-94) ----
+
+def match_multi(
+    items: DataFrame,
+    edges: DataFrame,
+    prop: str,
+    clauses: list[dict],
+    display: str = "name",
+) -> DataFrame:
+    """Array-of-clauses field config: each referenced value of ``prop``
+    is tested against every clause's ``match`` filter (same spec language
+    as B3) and indexed under that clause's ``index_as`` — the reference's
+    FOR/SEO split of ``about``. A value matching multiple clauses indexes
+    once per clause (``lib/ROCrateIndexer.js:392-396``: "indexed more
+    than once ... a feature"); a value matching none is dropped.
+
+    One scan: the clause array becomes a literal array<struct> column,
+    filtered per row and exploded — no per-clause union, no re-scan.
+    Output: (id, index_as, value, value_id).
+    """
+    e = edges.where(F.col("property") == prop).select(
+        F.col("src").alias("_src"), F.col("dst").alias("_dst")
+    )
+    joined = e.join(items, F.col("_dst") == F.col("id"))
+    cl = F.array(
+        *[
+            F.struct(
+                F.lit(c["index_as"]).alias("index_as"),
+                compile_filter(c["match"]).alias("m"),
+            )
+            for c in clauses
+        ]
+    )
+    hits = F.filter(cl, lambda x: x["m"])
+    return (
+        joined.select(
+            F.col("_src").alias("id"),
+            F.col(display).alias("value"),
+            F.col("id").alias("value_id"),
+            F.explode(hits).alias("c"),
+        )
+        .select("id", F.col("c.index_as").alias("index_as"), "value", "value_id")
+    )
+
+
 # --- B15: @reverse (lib/ROCrateIndexer.js:359-367) -----------------------
 
 def resolve_reverse(

@@ -132,3 +132,82 @@ SELECT record_type_s, count(*)::bigint AS n FROM (
         AND regexp_matches(name, 'a')
 ) GROUP BY record_type_s
 """.strip()
+
+
+def match_multi_sql() -> str:
+    # B10 FOR/SEO split of 'about' (doc/Solr_config.md §match): one
+    # SELECT per clause over the resolved values, UNION ALL so a value
+    # matching several clauses indexes once per clause.
+    return f"""{sql_cte()}
+, j AS (
+  SELECT e.src AS id, i.name AS value, i.id AS value_id
+  FROM edges e JOIN items i ON i.id = e.dst
+  WHERE e.property = 'about'
+)
+SELECT id, 'FOR' AS index_as, value, value_id FROM j WHERE regexp_matches(value_id, 'anzsrc-for')
+UNION ALL
+SELECT id, 'SEO' AS index_as, value, value_id FROM j WHERE regexp_matches(value_id, 'anzsrc-seo')
+""".strip()
+
+
+def _crate_lit() -> str:
+    from oni_indexer_spark.etl.fixture import jsonld_crate
+
+    return jsonld_crate().replace("'", "''")
+
+
+def _crate_items_cte() -> str:
+    return f"""WITH raw AS (SELECT '{_crate_lit()}'::json AS j),
+g AS (SELECT unnest(json_extract(j, '$."@graph"[*]')) AS item FROM raw)"""
+
+
+def ingest_items_sql() -> str:
+    # A2: same JSON-LD literal parsed with DuckDB's JSON functions;
+    # types joined to a scalar (the driver canonicalizer sorts/hashes
+    # scalars only).
+    return f"""{_crate_items_cte()}
+SELECT item->>'@id' AS id,
+  CASE WHEN json_type(item, '$."@type"') = 'ARRAY'
+       THEN array_to_string(json_extract_string(item, '$."@type"[*]'), ',')
+       ELSE item->>'@type' END AS types,
+  item->>'name' AS name,
+  item->>'description' AS description,
+  coalesce(item->'license'->>'@id', item->>'license') AS license,
+  item->>'datePublished' AS date_published,
+  item->>'keywords' AS keywords
+FROM g
+""".strip()
+
+
+def ingest_edges_sql() -> str:
+    return f"""{_crate_items_cte()},
+f AS (SELECT item, unnest(json_keys(item)) AS property FROM g),
+v AS (SELECT item, property,
+        (CASE WHEN json_type(item, '$."'||property||'"') = 'ARRAY'
+             THEN json_extract(item, '$."'||property||'"')
+             ELSE json_array(json_extract(item, '$."'||property||'"')) END)::json[] AS vals
+      FROM f WHERE property NOT IN ('@id')),
+e AS (SELECT item->>'@id' AS src, property, unnest(vals) AS val FROM v)
+SELECT src, property, val->>'@id' AS dst FROM e WHERE val->>'@id' IS NOT NULL
+""".strip()
+
+
+def unwrap_json_sql(prop: str = "address", index_as: str = "address_display") -> str:
+    # B7 unwrap with JSON-stringify fallback: name when present, else the
+    # whole entity minified (key order pre-sorted in the fixture crate so
+    # Spark's variant re-serialization is byte-identical).
+    return f"""{_crate_items_cte()},
+f AS (SELECT item, unnest(json_keys(item)) AS property FROM g),
+v AS (SELECT item, property,
+        (CASE WHEN json_type(item, '$."'||property||'"') = 'ARRAY'
+             THEN json_extract(item, '$."'||property||'"')
+             ELSE json_array(json_extract(item, '$."'||property||'"')) END)::json[] AS vals
+      FROM f WHERE property NOT IN ('@id')),
+e AS (SELECT item->>'@id' AS src, property, unnest(vals) AS val FROM v),
+edges AS (SELECT src, property, val->>'@id' AS dst FROM e WHERE val->>'@id' IS NOT NULL)
+SELECT edges.src AS id,
+       coalesce(t.item->>'name', json_extract(t.item, '$')::varchar) AS {index_as},
+       edges.dst AS {index_as}_id
+FROM edges JOIN g t ON t.item->>'@id' = edges.dst
+WHERE edges.property = '{prop}'
+""".strip()

@@ -5,5 +5,6 @@ from oni_indexer_spark.index.build import (  # noqa: F401
     append_to_index,
     build_index,
     build_to_path,
+    overwrite_docs,
     read_index,
 )

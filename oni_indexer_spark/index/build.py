@@ -57,22 +57,35 @@ from oni_indexer_spark.index import lineage as L
 
 
 # On-disk layout version: bump when the postings/dfreq schema changes so
-# long-lived index paths are never read with mismatched code (v2 = tid-
-# keyed postings; v1 carried term strings).
-INDEX_FORMAT_VERSION = 2
+# long-lived index paths are never read with mismatched code (v3 = seg
+# partition level for in-place overwrite; v2 = tid-keyed postings; v1
+# carried term strings).
+INDEX_FORMAT_VERSION = 3
 
 
 @dataclass(frozen=True)
 class IndexConfig:
     """BM25 + layout parameters. k1/b are the Solr/Lucene defaults the
-    reference relies on (SURVEY.md §2.C4; BASELINE.json pins them)."""
+    reference relies on (SURVEY.md §2.C4; BASELINE.json pins them).
+
+    ``seg_blocks``: blocks per segment directory. postings/doclen are
+    partitioned by ``seg = block_id // seg_blocks`` (a doc-range of
+    ``block_size * seg_blocks`` docs) in addition to bucket, so C11
+    overwrite rewrites only the affected (bucket, seg) directories —
+    the Lucene segment-rewrite analogue. Size it so a segment holds
+    ~10^6-10^8 docs at the target corpus scale."""
 
     k1: float = 1.2
     b: float = 0.75
     block_size: int = 128
     n_buckets: int = 32
+    seg_blocks: int = 8192
     compress: bool = True
     meta_cols: tuple[str, ...] = ("repo", "path", "lang")
+
+    @property
+    def seg_docs(self) -> int:
+        return self.block_size * self.seg_blocks
 
 
 class IndexTables(NamedTuple):
@@ -116,7 +129,12 @@ def _doclen_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
         *meta,
         F.size(tokens_col("content")).alias("dl"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
+        _seg_of(F.col("doc_id"), cfg).alias("seg"),
     )
+
+
+def _seg_of(doc_id: Column, cfg: IndexConfig) -> Column:
+    return F.floor(doc_id / cfg.seg_docs).cast("long")
 
 
 _BLOCKS_OUT_SCHEMA = (
@@ -230,7 +248,16 @@ def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
     ``compress=False`` debug builds.
     """
     slim = tf.select(F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl")
+    return _postings_blocks_tid(slim, cfg)
+
+
+def _postings_blocks_tid(slim: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Encode already-hashed (tid, doc_id, tf, dl) rows into block rows —
+    the shared tail of full builds, appends, and C11 segment rewrites
+    (which feed it decoded survivor postings that no longer have term
+    strings)."""
     bucket = F.pmod(F.col("tid"), F.lit(cfg.n_buckets)).cast("int").alias("bucket")
+    seg = F.floor(F.col("block_id") / cfg.seg_blocks).cast("long").alias("seg")
     if not cfg.compress:
         return (
             slim.withColumn(
@@ -243,13 +270,16 @@ def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
                 F.max("tf").cast("int").alias("block_max_tf"),
                 F.min("dl").cast("int").alias("block_min_dl"),
             )
-            .select("tid", "block_id", "n", "block_max_tf", "block_min_dl", "plist", bucket)
+            .select(
+                "tid", "block_id", "n", "block_max_tf", "block_min_dl", "plist",
+                bucket, seg,
+            )
         )
     pre = slim.repartition(
         F.col("tid"), F.floor(F.col("doc_id") / cfg.block_size)
     ).sortWithinPartitions("tid", "doc_id")
     blocks = pre.mapInArrow(_make_sorted_encoder(cfg.block_size), _BLOCKS_OUT_SCHEMA)
-    return blocks.withColumn("bucket", bucket)
+    return blocks.withColumn("bucket", bucket).withColumn("seg", seg)
 
 
 def _dfreq_table(tf: DataFrame) -> DataFrame:
@@ -322,7 +352,7 @@ def build_to_path(
         doclen = _doclen_table(docs, cfg).observe(
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         )
-        doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+        doclen.write.mode("overwrite").partitionBy("seg").parquet(f"{path}/doclen")
         # stats ride along with the write job (Observation) — no re-read
         n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"] or 0.0)
         spark.createDataFrame([(n_docs, float(avgdl))], "n_docs long, avgdl double").coalesce(
@@ -338,9 +368,14 @@ def build_to_path(
     if not (resume and lin.is_done("tf_stage")):
         t0 = lin.start("tf_stage")
         tf = _tf_table(docs, cfg)
+        # repartition by bucket routes each reduce task to one bucket
+        # directory (few output files); NO sort — postings re-sort by
+        # (tid, doc_id) anyway and dfreq is order-insensitive, so a term
+        # sort here would be 82M string comparisons for nothing but
+        # marginally better parquet RLE (measured: it cost ~20% of the
+        # whole build at local[4]).
         (
             tf.repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{path}/tf_stage")
@@ -380,7 +415,7 @@ def build_to_path(
         (
             blocks.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
+            .partitionBy("bucket", "seg")
             .parquet(f"{path}/postings")
         )
         (
@@ -422,6 +457,7 @@ def build_to_path(
             "b": cfg.b,
             "block_size": cfg.block_size,
             "n_buckets": cfg.n_buckets,
+            "seg_blocks": cfg.seg_blocks,
             "compress": cfg.compress,
         }
     )
@@ -448,6 +484,7 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
         b=meta["b"],
         block_size=meta["block_size"],
         n_buckets=meta["n_buckets"],
+        seg_blocks=meta.get("seg_blocks", 8192),
         compress=meta["compress"],
     )
     new_min = docs_new.agg(F.min("doc_id")).collect()[0][0]
@@ -469,7 +506,7 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
     doclen = _doclen_table(docs_new, cfg).observe(
         obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
-    doclen.write.mode("append").parquet(f"{path}/doclen")
+    doclen.write.mode("append").partitionBy("seg").parquet(f"{path}/doclen")
     n_docs = int(obs.get["n"])
     spark.createDataFrame(
         [(n_docs, float(obs.get["avgdl"] or 0.0))], "n_docs long, avgdl double"
@@ -477,12 +514,166 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
 
     tf = _tf_table(docs_new, cfg)
     blocks = _postings_blocks(tf, cfg)
-    blocks.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    blocks.write.mode("append").partitionBy("bucket", "seg").parquet(f"{path}/postings")
     _dfreq_table(tf).write.mode("append").partitionBy("bucket").parquet(f"{path}/dfreq")
     lin.finish(stage, t0, docs_tokenized=n_docs)
     # searchers memoize N/avgdl/df; the index just grew under them
     from oni_indexer_spark.query.bm25 import invalidate_searchers
 
+    invalidate_searchers()
+
+
+def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) -> None:
+    """C11 same-id overwrite — the reference's everyday re-index cycle
+    (``oni-indexer.js:160`` posts with ``overwrite=true``; Solr replaces
+    the doc). ``docs_new`` may carry EXISTING doc_ids (replaced) and/or
+    new ones (added); after this call, queries answer exactly as a fresh
+    build over the updated corpus (tests/test_overwrite.py).
+
+    Write amplification is bounded by the seg partition level: only the
+    (bucket, seg) postings directories and seg doclen directories whose
+    doc-ranges contain changed docs are rewritten (dynamic partition
+    overwrite) — the Lucene segment-rewrite analogue, everything else is
+    untouched. Exactness bookkeeping:
+
+    - postings: affected segs decode → survivors (anti-join changed ids)
+      union the new docs' postings → re-encode. Block-max metadata of
+      rewritten blocks is recomputed; other blocks keep theirs (bounds
+      are avgdl-independent, still valid as avgdl drifts).
+    - dfreq: exact correction — decrements from the decoded old postings
+      of changed docs, increments from the new tf table; terms reaching
+      df=0 are dropped. Swapped in via a staging dir.
+    - stats: two appended correction rows (−n_removed at the removed
+      docs' avgdl, +n_new at theirs); Searcher's weighted sum stays
+      exact.
+
+    Caveat (documented, inherent to raw parquet): the dynamic-overwrite
+    commit is not atomic — a crash inside the commit window can lose the
+    affected segs. The north_star's production target is an Iceberg
+    catalog whose snapshot swap closes this window; on raw parquet the
+    lineage row is only marked done after all writes succeed, so an
+    interrupted overwrite is detectable (status=running) and must be
+    restored from the source corpus.
+    """
+    spark = docs_new.sparkSession
+    lin = L.Lineage(spark, path)
+    meta = lin.read_meta()
+    cfg = IndexConfig(
+        k1=meta["k1"],
+        b=meta["b"],
+        block_size=meta["block_size"],
+        n_buckets=meta["n_buckets"],
+        seg_blocks=meta.get("seg_blocks", 8192),
+        compress=meta["compress"],
+    )
+    ids_row = docs_new.agg(
+        F.min("doc_id").alias("lo"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if ids_row["n"] == 0:
+        return
+    stage = f"overwrite_{batch_id if batch_id is not None else ids_row['lo']}"
+    if lin.is_done(stage):
+        return
+    t0 = lin.start(stage)
+
+    from oni_indexer_spark.query.bm25 import _decoded, invalidate_searchers
+
+    segs = [
+        r["s"]
+        for r in docs_new.select(_seg_of(F.col("doc_id"), cfg).alias("s")).distinct().collect()
+    ]
+    changed = docs_new.select("doc_id").distinct()
+
+    # --- old state of the affected segments
+    doclen_all = spark.read.parquet(f"{path}/doclen")
+    doclen_seg = doclen_all.where(F.col("seg").isin(segs))
+    rem = doclen_seg.join(changed, "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_removed, avgdl_removed = int(rem["n"]), float(rem["avgdl"] or 0.0)
+
+    post_seg = spark.read.parquet(f"{path}/postings").where(F.col("seg").isin(segs))
+    old_rows = _decoded(post_seg, cfg)
+    survivors = old_rows.join(changed, "doc_id", "left_anti")
+    killed = old_rows.join(changed, "doc_id", "left_semi")
+
+    # --- dfreq: exact decrement/increment, staged then swapped
+    tf_new = _tf_table(docs_new, cfg)
+    dec = killed.groupBy("tid").agg(
+        F.count(F.lit(1)).alias("df_dec"), F.sum("tf").alias("cf_dec")
+    )
+    inc = tf_new.groupBy("term", "bucket").agg(
+        F.count(F.lit(1)).alias("df_inc"), F.sum("tf").alias("cf_inc")
+    )
+    dfreq_old = spark.read.parquet(f"{path}/dfreq").withColumn(
+        "tid", F.xxhash64("term")
+    )
+    merged_df = (
+        dfreq_old.join(inc, ["term", "bucket"], "full_outer")
+        .withColumn("tid", F.coalesce(F.col("tid"), F.xxhash64("term")))
+        .join(dec, "tid", "left")
+        .select(
+            "term",
+            "bucket",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                - F.coalesce(F.col("df_dec"), F.lit(0))
+                + F.coalesce(F.col("df_inc"), F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce(F.col("cf"), F.lit(0))
+                - F.coalesce(F.col("cf_dec"), F.lit(0))
+                + F.coalesce(F.col("cf_inc"), F.lit(0))
+            ).alias("cf"),
+        )
+        .where(F.col("df") > 0)
+    )
+    merged_df.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/dfreq.next")
+
+    # --- postings + doclen: rewrite affected dirs. NOT dynamic-overwrite:
+    # a (bucket, seg) dir whose every posting belonged to changed docs
+    # would produce no new rows, and dynamic overwrite only replaces
+    # partitions PRESENT in the new data — the stale dir would survive.
+    # Instead: materialize the merged data (localCheckpoint, eager — also
+    # closes the read-your-sources hazard), delete the affected dirs,
+    # append.
+    import shutil
+
+    new_slim = tf_new.select(F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl")
+    blocks = _postings_blocks_tid(
+        survivors.select("tid", "doc_id", "tf", "dl").unionByName(new_slim), cfg
+    ).localCheckpoint()
+    keep_cols = list(doclen_seg.columns)
+    doclen_merged = (
+        doclen_seg.join(changed, "doc_id", "left_anti")
+        .unionByName(_doclen_table(docs_new, cfg).select(*keep_cols))
+        .localCheckpoint()
+    )
+    for s in segs:
+        shutil.rmtree(f"{path}/doclen/seg={s}", ignore_errors=True)
+        for b in range(cfg.n_buckets):
+            shutil.rmtree(f"{path}/postings/bucket={b}/seg={s}", ignore_errors=True)
+    blocks.write.mode("append").partitionBy("bucket", "seg").parquet(f"{path}/postings")
+    doclen_merged.write.mode("append").partitionBy("seg").parquet(f"{path}/doclen")
+
+    # --- stats correction rows
+    new_stats = _doclen_table(docs_new, cfg).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    rows = [(int(new_stats["n"]), float(new_stats["avgdl"] or 0.0))]
+    if n_removed:
+        rows.append((-n_removed, avgdl_removed))
+    spark.createDataFrame(rows, "n_docs long, avgdl double").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{path}/stats")
+
+    # swap dfreq last (it was fully staged; postings/doclen used dynamic
+    # per-partition overwrite)
+    import shutil
+
+    shutil.rmtree(f"{path}/dfreq")
+    shutil.move(f"{path}/dfreq.next", f"{path}/dfreq")
+    lin.finish(stage, t0, docs_tokenized=int(ids_row["n"]), docs_removed=n_removed)
     invalidate_searchers()
 
 
@@ -499,6 +690,7 @@ def read_index(spark: SparkSession, path: str) -> IndexTables:
         b=meta["b"],
         block_size=meta["block_size"],
         n_buckets=meta["n_buckets"],
+        seg_blocks=meta.get("seg_blocks", 8192),
         compress=meta["compress"],
     )
     return IndexTables(

@@ -100,3 +100,38 @@ def test_purge_and_dump(spark, docs, tmp_path):
     admin.purge_index(p)
     assert not os.path.exists(os.path.join(p, "postings"))
     assert not os.path.exists(os.path.join(p, "_lineage"))
+
+
+def test_match_multi_for_seo(spark, items):
+    # B10 (lib/ROCrateIndexer.js:398-414; test/ro-crate.spec.js:64-94):
+    # 'about' values split by clause regex into FOR/SEO; non-matching
+    # values (topic-misc) drop; counts mirror the reference expectations.
+    from oni_indexer_spark.etl import fixture, ops
+
+    out = ops.match_multi(
+        items,
+        fixture.spark_edges(spark),
+        "about",
+        [
+            {"match": {"id": {"re": "anzsrc-for"}}, "index_as": "FOR"},
+            {"match": {"id": {"re": "anzsrc-seo"}}, "index_as": "SEO"},
+        ],
+    ).collect()
+    d1 = [(r["index_as"], r["value_id"]) for r in out if r["id"] == "d1"]
+    assert sorted(d1) == [
+        ("FOR", "anzsrc-for-0801"),
+        ("FOR", "anzsrc-for-0806"),
+        ("SEO", "anzsrc-seo-970108"),
+    ]
+    assert not any(r["value_id"] == "topic-misc" for r in out)
+    # a value matching several clauses indexes once per clause
+    both = ops.match_multi(
+        items,
+        fixture.spark_edges(spark),
+        "about",
+        [
+            {"match": {"id": {"re": "anzsrc"}}, "index_as": "ANY"},
+            {"match": {"id": {"re": "anzsrc-for"}}, "index_as": "FOR"},
+        ],
+    ).where("id = 'd2' AND value_id = 'anzsrc-for-0806'").collect()
+    assert sorted(r["index_as"] for r in both) == ["ANY", "FOR"]
