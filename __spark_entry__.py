@@ -37,19 +37,22 @@ _DF_TERMS = ["the", "scan", "join", "hash", "merge", "window", "spark"]
 _INDEX_CACHE: dict[str, IndexTables] = {}
 
 
-def _index(spark: SparkSession, sf_dir: str) -> IndexTables:
+def _index(spark: SparkSession, sf_dir: str, analyzer: str = "code") -> IndexTables:
     """Materialized-index path: build_to_path (varint blobs, lineage,
     bucket-partitioned parquet) + read_index — so every bm25/dfreq/doclen
     correctness row exercises the parquet round-trip, partition pruning
     and lineage, not just the in-memory plan."""
+    import dataclasses
     import tempfile
 
     from oni_indexer_spark.index import build_to_path, read_index
     from oni_indexer_spark.session import ship_package
 
     ship_package(spark)  # driver-owned sessions: make UDFs importable on workers
-    t = _INDEX_CACHE.get(sf_dir)
+    cache_key = f"{sf_dir}|{analyzer}"
+    t = _INDEX_CACHE.get(cache_key)
     if t is None:
+        cfg = dataclasses.replace(_CFG, analyzer=analyzer)
         docs = from_driver_documents(spark, sf_dir)
         # key the on-disk cache by the source data's mtime so a
         # regenerated testdata dir never resumes over a stale index
@@ -61,17 +64,22 @@ def _index(spark: SparkSession, sf_dir: str) -> IndexTables:
 
         path = os.path.join(
             tempfile.gettempdir(),
-            "oni_entry_index_v%d_%s_%s"
-            % (INDEX_FORMAT_VERSION, sf_dir.strip("/").replace("/", "_"), src_tag),
+            "oni_entry_index_v%d_%s_%s_%s"
+            % (
+                INDEX_FORMAT_VERSION,
+                sf_dir.strip("/").replace("/", "_"),
+                src_tag,
+                analyzer,
+            ),
         )
         # resume=True: a half-written index from a crashed run self-heals;
         # a completed one is reused across driver invocations.
-        build_to_path(docs, path, _CFG, bucket_group_size=_CFG.n_buckets, resume=True)
+        build_to_path(docs, path, cfg, bucket_group_size=cfg.n_buckets, resume=True)
         t = read_index(spark, path)
         t.postings.cache().count()
         t.dfreq.cache().count()
         t.doclen.cache().count()
-        _INDEX_CACHE[sf_dir] = t
+        _INDEX_CACHE[cache_key] = t
     return t
 
 
@@ -97,10 +105,14 @@ def _q_bm25(
     mode: str = "or",
     fq: dict | None = None,
     prune: bool | str = "auto",
+    analyzer: str = "code",
 ):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _rounded(
-            topk(_index(spark, sf_dir), query, k=k, mode=mode, fq=fq, prune=prune)
+            topk(
+                _index(spark, sf_dir, analyzer),
+                query, k=k, mode=mode, fq=fq, prune=prune,
+            )
         )
 
     return run
@@ -147,11 +159,20 @@ def _q_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_copyfield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # C7: main_search copy-field — concat of searchable fields
-    # (oni-indexer.js:272-288, schema.json:92-118).
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.concat_ws(" ", "repo", "lang", "content").alias("main_search")
+    # C7+A8: main_search copy-field DERIVED FROM CONFIG — the fields
+    # config compiles to view DDL (oni-indexer.js:272-288, the Solr
+    # schema-API analogue) and the query reads through that view.
+    from oni_indexer_spark.etl.config import schema_ddl
+
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_for_schema")
+    spark.sql(
+        schema_ddl(
+            {"main_search": ["repo", "lang", "content"]},
+            table="docs_for_schema",
+            view="indexed_docs_entry",
+        )
     )
+    return spark.sql("SELECT doc_id, main_search FROM indexed_docs_entry")
 
 
 def _q_overwrite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,6 +399,28 @@ def _q_etl_resolve_single(spark, sf_dir):
     )
 
 
+def _q_etl_config_pipeline(spark, sf_dir):
+    # B1: one type's fields config driven end-to-end through the §2.B ops
+    from oni_indexer_spark.etl import fixture
+    from oni_indexer_spark.etl.config import compile_type_pipeline
+
+    cf = {
+        "name": {},
+        "author": {"resolve": "multi"},
+        "about": [
+            {"match": {"id": {"re": "anzsrc-for"}}, "index_as": "FOR"},
+            {"match": {"id": {"re": "anzsrc-seo"}}, "index_as": "SEO"},
+        ],
+        "date_published": {"validate": "date", "index_as": "datePublished"},
+        "keywords": {"facet": "tokenize"},
+        "hasPart": {"skip": True},
+    }
+    return compile_type_pipeline(
+        fixture.spark_items(spark), fixture.spark_edges(spark), "Dataset", cf,
+        root_id=fixture.ROOT_ID,
+    )
+
+
 def _q_etl_ingest_items(spark, sf_dir):
     # A2: JSON-LD @graph ingestion via Spark VARIANT
     from oni_indexer_spark.etl import fixture, ingest
@@ -448,6 +491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forced block-max-pruned path (lossless => same oracle as unpruned)
         "bm25_pruned_topk": _q_bm25("the scan join", k=10, prune=True),
         "c11_overwrite_topk": _q_overwrite_topk,
+        # Solr text_en analyzer chain (stopwords + stemming); "joins" and
+        # "the" exercise both steps
+        "bm25_text_en": _q_bm25("the hash joins", k=10, analyzer="text_en"),
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "corpus_stats": _q_stats,
@@ -480,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_ingest_items": _q_etl_ingest_items,
         "etl_ingest_edges": _q_etl_ingest_edges,
         "etl_unwrap_json": _q_etl_unwrap_json,
+        "etl_config_pipeline": _q_etl_config_pipeline,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
         "multimodal_features": _q_multimodal,
@@ -496,6 +543,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_zero_result": oracle.bm25_topk_sql("zzz_not_in_corpus", k=10),
         "bm25_k100": oracle.bm25_topk_sql("the scan", k=100),
         "bm25_pruned_topk": oracle.bm25_topk_sql("the scan join", k=10),
+        "bm25_text_en": oracle.bm25_topk_sql(
+            "the hash joins", k=10, analyzer="text_en"
+        ),
         "c11_overwrite_topk": oracle.bm25_topk_sql(
             "zz_overwrite_marker the",
             k=10,
@@ -545,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "etl_ingest_items": _etl_oracle.ingest_items_sql(),
         "etl_ingest_edges": _etl_oracle.ingest_edges_sql(),
         "etl_unwrap_json": _etl_oracle.unwrap_json_sql(),
+        "etl_config_pipeline": _etl_oracle.config_pipeline_sql(),
         "dedup_minhash_lsh": _ops_dedup.minhash_lsh_pairs_sql(
             n_hashes=12, bands=4, threshold=0.3
         ),

@@ -91,24 +91,33 @@ def resolve(
     prop: str,
     index_as: str,
     display: str = "name",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Follow ``prop`` links from each item to the target item, emitting
     the display field and the ``{index_as}_id`` side output
-    (lib/ROCrateIndexer.js:460-468). Broadcast join: entity tables are
-    small relative to the corpus."""
+    (lib/ROCrateIndexer.js:460-468).
+
+    ``broadcast``: True forces a broadcast of the target side, False
+    forbids it, None (default) lets Catalyst/AQE decide from size stats —
+    an unconditional ``F.broadcast`` would OOM when ``items`` is itself
+    corpus-sized (every-file-an-entity crates at 10^12 scale)."""
     e = edges.where(F.col("property") == prop)
     tgt = items.select(
         F.col("id").alias("_tid"), F.col(display).alias(index_as)
     )
-    return (
+    if broadcast is True:
+        tgt = F.broadcast(tgt)
+    j2 = (
         items.alias("i")
         .join(e.alias("e"), F.col("i.id") == F.col("e.src"))
-        .join(F.broadcast(tgt), F.col("e.dst") == F.col("_tid"))
-        .select(
-            F.col("i.id").alias("id"),
-            F.col(index_as),
-            F.col("e.dst").alias(f"{index_as}_id"),
-        )
+        .join(tgt, F.col("e.dst") == F.col("_tid"))
+    )
+    if broadcast is False:
+        j2 = j2.hint("shuffle_hash")
+    return j2.select(
+        F.col("i.id").alias("id"),
+        F.col(index_as),
+        F.col("e.dst").alias(f"{index_as}_id"),
     )
 
 

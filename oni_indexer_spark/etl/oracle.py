@@ -211,3 +211,34 @@ SELECT edges.src AS id,
 FROM edges JOIN g t ON t.item->>'@id' = edges.dst
 WHERE edges.property = '{prop}'
 """.strip()
+
+
+def config_pipeline_sql() -> str:
+    # B1: the compiled Dataset pipeline's long-format rows — one UNION
+    # branch per configured field, mirroring compile_type_pipeline's
+    # dispatch (name copy, author resolve, FOR/SEO match split,
+    # datePublished validate, keywords facet-tokenize, hasPart skipped).
+    return f"""{sql_cte()},
+ds AS (SELECT * FROM items WHERE list_contains(types, 'Dataset'))
+SELECT id, 'name' AS field, name AS value FROM ds WHERE name IS NOT NULL
+UNION ALL
+SELECT i.id, 'author', t.name
+FROM ds i JOIN edges e ON e.src = i.id AND e.property = 'author'
+JOIN items t ON t.id = e.dst
+UNION ALL
+SELECT i.id, 'FOR', t.name
+FROM ds i JOIN edges e ON e.src = i.id AND e.property = 'about'
+JOIN items t ON t.id = e.dst WHERE regexp_matches(t.id, 'anzsrc-for')
+UNION ALL
+SELECT i.id, 'SEO', t.name
+FROM ds i JOIN edges e ON e.src = i.id AND e.property = 'about'
+JOIN items t ON t.id = e.dst WHERE regexp_matches(t.id, 'anzsrc-seo')
+UNION ALL
+SELECT id, 'datePublished',
+  coalesce(regexp_extract(date_published, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1), '')
+FROM ds
+UNION ALL
+SELECT id, 'keywords',
+  unnest(list_filter(list_transform(str_split(keywords, ','), x -> trim(x)), x -> x != ''))
+FROM ds
+""".strip()

@@ -52,7 +52,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from oni_indexer_spark.analyzer import tokens_col
+from oni_indexer_spark.analyzer import analyzer_tokens, tokens_col
 from oni_indexer_spark.index import lineage as L
 
 
@@ -80,6 +80,7 @@ class IndexConfig:
     block_size: int = 128
     n_buckets: int = 32
     seg_blocks: int = 8192
+    analyzer: str = "code"
     compress: bool = True
     meta_cols: tuple[str, ...] = ("repo", "path", "lang")
 
@@ -109,7 +110,7 @@ def _tf_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     the shuffle proportional to distinct (term, doc) pairs, not tokens.
     """
     toks = docs.select(
-        "doc_id", tokens_col("content").alias("toks")
+        "doc_id", analyzer_tokens("content", cfg.analyzer).alias("toks")
     ).select(
         "doc_id",
         F.size("toks").alias("dl"),
@@ -127,7 +128,7 @@ def _doclen_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     return docs.select(
         "doc_id",
         *meta,
-        F.size(tokens_col("content")).alias("dl"),
+        F.size(analyzer_tokens("content", cfg.analyzer)).alias("dl"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         _seg_of(F.col("doc_id"), cfg).alias("seg"),
     )
@@ -458,6 +459,7 @@ def build_to_path(
             "block_size": cfg.block_size,
             "n_buckets": cfg.n_buckets,
             "seg_blocks": cfg.seg_blocks,
+            "analyzer": cfg.analyzer,
             "compress": cfg.compress,
         }
     )
@@ -485,6 +487,7 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
         block_size=meta["block_size"],
         n_buckets=meta["n_buckets"],
         seg_blocks=meta.get("seg_blocks", 8192),
+        analyzer=meta.get("analyzer", "code"),
         compress=meta["compress"],
     )
     new_min = docs_new.agg(F.min("doc_id")).collect()[0][0]
@@ -564,6 +567,7 @@ def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) 
         block_size=meta["block_size"],
         n_buckets=meta["n_buckets"],
         seg_blocks=meta.get("seg_blocks", 8192),
+        analyzer=meta.get("analyzer", "code"),
         compress=meta["compress"],
     )
     ids_row = docs_new.agg(
@@ -691,6 +695,7 @@ def read_index(spark: SparkSession, path: str) -> IndexTables:
         block_size=meta["block_size"],
         n_buckets=meta["n_buckets"],
         seg_blocks=meta.get("seg_blocks", 8192),
+        analyzer=meta.get("analyzer", "code"),
         compress=meta["compress"],
     )
     return IndexTables(

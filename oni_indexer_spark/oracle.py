@@ -9,7 +9,11 @@ the same round-then-tie-break convention (see query/bm25._ranked).
 
 from __future__ import annotations
 
-from oni_indexer_spark.analyzer import duckdb_tokens_sql, query_terms
+from oni_indexer_spark.analyzer import (
+    analyzer_tokens_sql,
+    duckdb_tokens_sql,
+    query_terms,
+)
 
 
 def _values(terms: list[str]) -> str:
@@ -25,10 +29,11 @@ def bm25_topk_sql(
     b: float = 0.75,
     table: str = "documents",
     text_col: str = "text",
+    analyzer: str = "code",
 ) -> str:
     """Full BM25 top-k over the driver's ``documents`` view."""
-    terms = query_terms(query)
-    toks = duckdb_tokens_sql(text_col)
+    terms = query_terms(query, analyzer)
+    toks = analyzer_tokens_sql(text_col, analyzer)
     # Solr fq semantics: the filter restricts the RESULT set only; idf /
     # avgdl / N stay corpus-global (SURVEY.md §2.C9).
     fq_pred = (

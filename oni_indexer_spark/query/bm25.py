@@ -208,7 +208,7 @@ class Searcher:
         import math
 
         tables = self.tables
-        terms = query_terms(query)
+        terms = query_terms(query, tables.cfg.analyzer)
         if not terms:
             return _empty_result(tables)
         n_docs, avgdl = self.stats()
@@ -342,23 +342,26 @@ def topk_direct(
     fq: dict[str, str] | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    analyzer: str = "code",
 ) -> DataFrame:
     """BM25 top-k computed straight from the documents table (no
     materialized index) — one declarative plan, used as the in-engine
     cross-check for the index path and as the SQL-oracle twin.
     """
-    terms = query_terms(query)
+    from oni_indexer_spark.analyzer import analyzer_tokens
+
+    terms = query_terms(query, analyzer)
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
     # Solr fq semantics: corpus stats (N, avgdl, df) are global; the
     # filter only restricts which docs may appear in the result.
     base = docs
-    toks = base.select("doc_id", tokens_col("content").alias("toks")).select(
+    toks = base.select("doc_id", analyzer_tokens("content", analyzer).alias("toks")).select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dlt = base.select("doc_id", F.size(tokens_col("content")).alias("dl"))
+    dlt = base.select("doc_id", F.size(analyzer_tokens("content", analyzer)).alias("dl"))
     srow = dlt.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
     n_docs, avgdl = int(srow["n"]), float(srow["a"] or 0.0)
     qt = tf.where(F.col("term").isin(terms))

@@ -78,6 +78,13 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
+    # A/B knob: trade bytes for CPU on bandwidth-starved hosts
+    if os.environ.get("SPARK_GRAFT_ZSTD") == "1":
+        builder = (
+            builder.config("spark.io.compression.codec", "zstd")
+            .config("spark.sql.parquet.compression.codec", "zstd")
+            .config("spark.shuffle.mapStatus.compression.codec", "zstd")
+        )
     spark = builder.getOrCreate()
     ship_package(spark)
     return spark

@@ -135,3 +135,24 @@ def test_match_multi_for_seo(spark, items):
         ],
     ).where("id = 'd2' AND value_id = 'anzsrc-for-0806'").collect()
     assert sorted(r["index_as"] for r in both) == ["ANY", "FOR"]
+
+
+def test_schema_copyfields_and_ddl(spark):
+    # A8 (oni-indexer.js:272-288): copyfield JSON in the reference shape,
+    # and the DDL view derives main_search from the same config.
+    from oni_indexer_spark.etl.config import schema_copyfields, schema_ddl
+
+    cf = {"main_search": ["name", "description", "id"], "facets": ["license"]}
+    assert schema_copyfields(cf) == [
+        {"source": "name", "dest": ["main_search"]},
+        {"source": "description", "dest": ["main_search"]},
+        {"source": "id", "dest": ["main_search"]},
+    ]
+    df = spark.createDataFrame(
+        [("x1", "Ada", "math", "cc-by")], "id string, name string, description string, license string"
+    )
+    df.createOrReplaceTempView("t_schema_src")
+    spark.sql(schema_ddl(cf, table="t_schema_src", view="t_schema_view"))
+    row = spark.sql("SELECT main_search, license_facet FROM t_schema_view").collect()[0]
+    assert row["main_search"] == "Ada math x1"
+    assert row["license_facet"] == "cc-by"
