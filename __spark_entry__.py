@@ -211,6 +211,20 @@ def _q_overwrite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_deposit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A13: CTAS deposit with deterministic namespaced identifiers
+    import tempfile
+
+    from oni_indexer_spark.corpus import deposit_corpus
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "oni_entry_deposit_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    out = deposit_corpus(_docs(spark, sf_dir), path)
+    return out.select("doc_id", "identifier")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact dedup: keep min doc_id per identical content hash
     return (
@@ -283,6 +297,22 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_bucket_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _QUERY_VEC, k=10, n_planes=4
     )
+
+
+def _q_ann_indexed(spark, sf_dir):
+    # materialized bucket-partitioned ANN index: one-shard probe
+    import tempfile
+
+    from oni_indexer_spark.ops.similarity import ann_topk, build_ann_index
+
+    path = os.path.join(
+        tempfile.gettempdir(), "oni_entry_ann_" + sf_dir.strip("/").replace("/", "_")
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ann_index(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), path, n_planes=4
+        )
+    return ann_topk(spark, path, _QUERY_VEC, k=10, n_planes=4)
 
 
 def _q_multimodal(spark, sf_dir):
@@ -421,6 +451,17 @@ def _q_etl_config_pipeline(spark, sf_dir):
     )
 
 
+def _q_etl_fixpoint(spark, sf_dir):
+    # B14: transitive closure of resolved items from the root dataset
+    from oni_indexer_spark.etl import fixture, ops
+
+    seeds = spark.createDataFrame([(fixture.ROOT_ID,)], "id string")
+    out = ops.resolve_fixpoint(
+        fixture.spark_items(spark), fixture.spark_edges(spark), seeds
+    )
+    return out.select("id", F.col("depth").cast("int").alias("depth"))
+
+
 def _q_etl_ingest_items(spark, sf_dir):
     # A2: JSON-LD @graph ingestion via Spark VARIANT
     from oni_indexer_spark.etl import fixture, ingest
@@ -502,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_lookup": _q_id_lookup,
         "copyfield_main_search": _q_copyfield,
         "dedup_exact": _q_dedup_exact,
+        "corpus_deposit": _q_deposit,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
@@ -527,8 +569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_ingest_edges": _q_etl_ingest_edges,
         "etl_unwrap_json": _q_etl_unwrap_json,
         "etl_config_pipeline": _q_etl_config_pipeline,
+        "etl_resolve_fixpoint": _q_etl_fixpoint,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
+        "sim_ann_indexed": _q_ann_indexed,
         "multimodal_features": _q_multimodal,
     }
 
@@ -571,6 +615,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS content_sha256, min(doc_id) AS keep_doc_id, "
             "count(*)::bigint AS n_copies FROM documents GROUP BY sha256(text)"
         ),
+        "corpus_deposit": (
+            # same identity triple from_driver_documents derives
+            "SELECT doc_id, 'public_ocfl/' || md5(concat_ws(':', source, "
+            "'doc/' || doc_id || '.txt', substr(sha256(text), 1, 40))) "
+            "AS identifier FROM documents"
+        ),
         "text_lang_id": _ops_text.lang_id_sql(),
         "text_quality": _ops_text.quality_score_sql(),
         "text_fingerprint": _ops_text.fingerprint_sql(),
@@ -596,9 +646,12 @@ def oracle_sql() -> dict[str, str]:
         "etl_ingest_edges": _etl_oracle.ingest_edges_sql(),
         "etl_unwrap_json": _etl_oracle.unwrap_json_sql(),
         "etl_config_pipeline": _etl_oracle.config_pipeline_sql(),
+        "etl_resolve_fixpoint": _etl_oracle.resolve_fixpoint_sql(),
         "dedup_minhash_lsh": _ops_dedup.minhash_lsh_pairs_sql(
             n_hashes=12, bands=4, threshold=0.3
         ),
         "sim_ann_lsh": _ops_sim.lsh_bucket_topk_sql(_QUERY_VEC, k=10, n_planes=4),
+        # the materialized index returns the same rows as the inline probe
+        "sim_ann_indexed": _ops_sim.lsh_bucket_topk_sql(_QUERY_VEC, k=10, n_planes=4),
         "multimodal_features": _mm.features_exploded_sql(n=48, dim=8),
     }

@@ -47,6 +47,31 @@ def from_driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deposit_corpus(
+    docs: DataFrame,
+    path: str,
+    namespace: str = "public_ocfl",
+    partition_by: tuple[str, ...] = ("repo",),
+) -> DataFrame:
+    """A13 corpus deposit (``ro-crate-deposit.js:29-59``): import a
+    generated corpus into the repository layout, minting namespaced
+    identifiers — CTAS into a partitioned parquet table. The reference
+    mints random uuids; we mint DETERMINISTIC ids (md5 over the object's
+    identity triple under the configured namespace,
+    ``config.json:identifierNamespace``) so deposits are reproducible and
+    idempotent. Returns the deposited table (read back from ``path``)."""
+    out = docs.withColumn(
+        "identifier",
+        F.concat(
+            F.lit(namespace),
+            F.lit("/"),
+            F.md5(F.concat_ws(":", F.col("repo"), F.col("path"), F.col("commit"))),
+        ),
+    )
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    return docs.sparkSession.read.parquet(path)
+
+
 def synth_documents(
     spark: SparkSession, n_docs: int, seed: int = 42, n_repos: int | None = None
 ) -> DataFrame:

@@ -193,6 +193,54 @@ def match_multi(
     )
 
 
+# --- B14: recursive fixpoint indexing (lib/ROCrateIndexer.js:247-248,
+#     305-312, enqueue :620-630) ------------------------------------------
+
+def resolve_fixpoint(
+    items: DataFrame,
+    edges: DataFrame,
+    seed_ids: DataFrame,
+    properties: list[str] | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure of resolved items: starting from ``seed_ids``
+    (a 1-column ``id`` frame), repeatedly follow edges (optionally only
+    the configured resolve ``properties``) and index every reachable item
+    exactly once — the reference's *intended* fixed-point loop (its
+    ``resolvedItemsToIndex`` queue is latently dead in v1.2.0, see
+    SURVEY.md appendix; we implement the documented semantics: resolved
+    targets indexed in later passes, bypassing type filters, dedup by id).
+
+    Output: (id, depth) — depth 0 for seeds, k for items first reached at
+    hop k. Spark shape: a driver-bounded loop of equi-join + anti-join;
+    each iteration shuffles only the FRONTIER (new ids), not the closure,
+    so the work is O(edges-touched), Semi-naive Datalog style. The depth
+    bound (default 20) caps pathological cycles; convergence (empty
+    frontier) exits early — entity graphs are shallow."""
+    e = edges
+    if properties is not None:
+        e = e.where(F.col("property").isin(properties))
+    e = e.select(F.col("src").alias("_src"), F.col("dst").alias("_dst"))
+    seen = seed_ids.select("id").distinct().withColumn("depth", F.lit(0))
+    frontier = seen.select("id")
+    for depth in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["_src"])
+            .select(F.col("_dst").alias("id"))
+            .distinct()
+            .join(seen.select("id"), "id", "left_anti")
+            # closure stays bounded by the entity graph: keep only ids
+            # that ARE items (dangling @ids resolve to nothing)
+            .join(items.select("id"), "id", "left_semi")
+        )
+        nxt = nxt.localCheckpoint()  # cut the growing lineage each hop
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt.withColumn("depth", F.lit(depth)))
+        frontier = nxt
+    return seen
+
+
 # --- B15: @reverse (lib/ROCrateIndexer.js:359-367) -----------------------
 
 def resolve_reverse(

@@ -242,3 +242,21 @@ SELECT id, 'keywords',
   unnest(list_filter(list_transform(str_split(keywords, ','), x -> trim(x)), x -> x != ''))
 FROM ds
 """.strip()
+
+
+def resolve_fixpoint_sql(seed: str = ROOT_ID, max_iters: int = 20) -> str:
+    # B14: BFS min-depth reachability as a recursive CTE (the intended
+    # transitive-closure semantics of the reference's resolvedItemsToIndex
+    # queue). Restricted to ids that exist as items, like the engine.
+    return f"""{sql_cte().replace("WITH items", "WITH RECURSIVE items", 1)},
+reach(id, depth) AS (
+  SELECT '{seed}', 0
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < {max_iters}
+)
+SELECT r.id, min(r.depth)::int AS depth
+FROM reach r JOIN items i ON i.id = r.id
+GROUP BY r.id
+""".strip()

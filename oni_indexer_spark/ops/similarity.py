@@ -143,6 +143,55 @@ def lsh_bucket_topk(
     return cosine_topk(bucketed.where(F.col("bucket") == qbucket), query_vec, k, vec_col)
 
 
+def build_ann_index(
+    emb: DataFrame, path: str, n_planes: int = 8, vec_col: str = "embedding"
+) -> None:
+    """Materialize the ANN index: embeddings written bucket-PARTITIONED
+    by their hyperplane signature, so a probe reads exactly its bucket's
+    directory (partition pruning — the one-shard probe at 10^12 rows,
+    vs lsh_bucket_topk's per-probe full-table bucket recompute)."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    (
+        emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def _hamming_neighbors(bucket: int, n_planes: int, radius: int) -> list[int]:
+    out = {bucket}
+    frontier = {bucket}
+    for _ in range(radius):
+        frontier = {b ^ (1 << j) for b in frontier for j in range(n_planes)}
+        out |= frontier
+    return sorted(out)
+
+
+def ann_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probes_radius: int = 0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the materialized ANN index: exact cosine top-k inside the
+    query's bucket directory (plus Hamming-``probes_radius`` neighbor
+    buckets for recall). The scan is directory-pruned — tests pin
+    PartitionFilters in the plan."""
+    planes = hyperplanes(len(query_vec), n_planes)
+    qbucket = 0
+    for j, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, plane)) > 0:
+            qbucket += 2**j
+    buckets = _hamming_neighbors(qbucket, n_planes, probes_radius)
+    df = spark.read.parquet(path).where(F.col("bucket").isin(buckets))
+    return cosine_topk(df, query_vec, k, vec_col)
+
+
 def _dot_sql(vec_expr: str, literal: list[float]) -> str:
     """DuckDB rendering of :func:`_dot` against a literal vector — the
     same left-to-right fold with 0.0 init, so results are IEEE-identical

@@ -191,3 +191,23 @@ def test_multimodal_plumbing(spark):
     plan = mm.frame_sample_plan(assets, every_ms=500)
     assert plan.where("frame_ts_ms % 500 != 0").count() == 0
     assert plan.count() > 0
+
+
+def test_ann_index_partition_pruned(spark, tmp_path):
+    # materialized ANN index: the probe must read ONE bucket directory
+    # (PartitionFilters), and probes_radius=0 equals lsh_bucket_topk
+    from oni_indexer_spark.ops import similarity as sim
+
+    rows = [(i, [((i * 13 + j * 7) % 19 - 9) / 9.0 for j in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ann")
+    sim.build_ann_index(emb, path, n_planes=4)
+    q = [0.3, -0.2, 0.8, 0.1, -0.5, 0.4, 0.0, 0.9]
+    got = sim.ann_topk(spark, path, q, k=5, n_planes=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    want = sim.lsh_bucket_topk(emb, q, k=5, n_planes=4)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # radius-1 probing can only add candidates (recall >= single-bucket)
+    wide = sim.ann_topk(spark, path, q, k=5, n_planes=4, probes_radius=1)
+    assert wide.count() >= got.count()
