@@ -71,6 +71,17 @@ def main() -> None:
         build_sec = time.time() - t0
         docs_per_sec = n_docs / build_sec
 
+        # per-stage breakdown straight from the build's lineage records
+        stages: dict[str, float] = {}
+        lin_dir = os.path.join(path, "_lineage")
+        for f in sorted(os.listdir(lin_dir)):
+            if not f.endswith(".json") or f == "meta.json":
+                continue
+            with open(os.path.join(lin_dir, f)) as fh:
+                rec = json.load(fh)
+            if rec.get("status") == "done" and "finished_at" in rec:
+                stages[rec["stage"]] = round(rec["finished_at"] - rec["started_at"], 2)
+
         if build_only:
             print(
                 json.dumps(
@@ -81,6 +92,7 @@ def main() -> None:
                         "n_docs": n_docs,
                         "build_sec": round(build_sec, 3),
                         "docs_per_sec": round(docs_per_sec, 2),
+                        "build_stages": stages,
                     }
                 )
             )
@@ -111,6 +123,7 @@ def main() -> None:
                     "cpus": cpus,
                     "build_sec": round(build_sec, 3),
                     "docs_per_sec": round(docs_per_sec, 2),
+                    "build_stages": stages,
                     "query_p95_sec": p95,
                 }
             )

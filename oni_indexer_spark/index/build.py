@@ -7,10 +7,11 @@ same artifacts natively as Spark tables:
 - ``postings(tid, bucket, block_id, n, block_max_tf, block_min_dl,
   blob|plist)`` — keyed by ``tid = xxhash64(term)``; exact term strings
   live in dfreq (build verifies tid injectivity per corpus)
-- ``doclen(doc_id, repo, path, lang, dl, content_sha256)``  (doc store +
-  length norms + the per-row sha256 invariant from BASELINE.json)
+- ``doclen(doc_id, repo, path, lang, dl, content_sha256, seg)``  (doc
+  store + length norms + the per-row sha256 invariant from BASELINE.json)
 - ``dfreq(term, df, cf)``  (document frequency / collection frequency)
-- ``stats(n_docs, avgdl)``  (single row)
+- ``stats(n_docs, avgdl)``  (one row per build/append/overwrite batch;
+  readers take the weighted sum — overwrite appends signed corrections)
 
 Scale design (the part Lucene's segment merge does for free and Spark
 must do explicitly):
@@ -31,16 +32,23 @@ must do explicitly):
 * **One tokenize pass.** ``build_to_path`` stages the term-frequency
   table ``(term, doc_id, tf, dl)`` bucket-partitioned by
   ``pmod(xxhash64(term), n_buckets)`` — tokenization (the expensive scan
-  over 100 TB of content) runs once; postings/dfreq derive from the
-  staged table with term-pruned reads.
+  over 100 TB of content) runs once; postings AND dfreq derive from the
+  staged table (an unmaterialized plan would re-tokenize per consumer).
+* **Memory-bandwidth-lean postings path** (round-2 event-log finding:
+  the reduce stage is DRAM-bound, CPU inflating +67% at 4x threads):
+  postings rows carry only ``(tid, doc_id, tf, dl)`` — 8-byte
+  radix-sortable hash key, no strings, block_id/bucket derived — through
+  shuffle + sort + the Arrow encoder; zstd shuffle/parquet trades bytes
+  for CPU.
 * **Checkpoint-resume + lineage** (north_rule): every build stage and
   every postings bucket-group commits a row to ``_lineage`` with metrics
-  (docs tokenized, postings emitted, bytes compressed); a re-run skips
-  stages whose lineage row says ``done`` (index/lineage.py).
+  (docs tokenized, postings emitted, bytes compressed, tid injectivity);
+  a re-run skips stages whose lineage row says ``done`` (index/lineage.py).
 * **Query-side partition pruning**: postings are written
-  ``partitionBy(bucket)`` and sorted by (term, block_id), so a query for
-  3 terms reads 3 directory partitions and skips row groups via min/max
-  stats on ``term``.
+  ``partitionBy(bucket, seg)`` and sorted by (tid, doc_id), so a query
+  for 3 terms reads 3 bucket directory subtrees and skips row groups via
+  min/max stats on ``tid``; the ``seg`` (doc-range) level bounds C11
+  overwrite's write amplification.
 """
 
 from __future__ import annotations
