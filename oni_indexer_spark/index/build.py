@@ -543,9 +543,11 @@ def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) 
 
     Write amplification is bounded by the seg partition level: only the
     (bucket, seg) postings directories and seg doclen directories whose
-    doc-ranges contain changed docs are rewritten (dynamic partition
-    overwrite) — the Lucene segment-rewrite analogue, everything else is
-    untouched. Exactness bookkeeping:
+    doc-ranges contain changed docs are rewritten (merged data
+    materialized via localCheckpoint, affected dirs deleted, appended —
+    see the inline note on why NOT dynamic partition overwrite) — the
+    Lucene segment-rewrite analogue, everything else is untouched.
+    Exactness bookkeeping:
 
     - postings: affected segs decode → survivors (anti-join changed ids)
       union the new docs' postings → re-encode. Block-max metadata of
@@ -558,9 +560,8 @@ def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) 
       docs' avgdl, +n_new at theirs); Searcher's weighted sum stays
       exact.
 
-    Caveat (documented, inherent to raw parquet): the dynamic-overwrite
-    commit is not atomic — a crash inside the commit window can lose the
-    affected segs. The north_star's production target is an Iceberg
+    Caveat (documented, inherent to raw parquet): the delete-then-append
+    window is not atomic — a crash inside it can lose the affected segs. The north_star's production target is an Iceberg
     catalog whose snapshot swap closes this window; on raw parquet the
     lineage row is only marked done after all writes succeed, so an
     interrupted overwrite is detectable (status=running) and must be

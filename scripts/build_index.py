@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--group-size", type=int, default=8)
+    ap.add_argument(
+        "--analyzer", default="code", choices=["code", "text_en", "text_en_porter"]
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--limit", type=int, default=None, help="index at most N docs (reference --limit parity)")
     args = ap.parse_args()
@@ -56,7 +59,9 @@ def main() -> None:
     if args.limit:
         docs = docs.where(docs.doc_id < args.limit)
 
-    cfg = IndexConfig(block_size=args.block_size, n_buckets=args.buckets)
+    cfg = IndexConfig(
+        block_size=args.block_size, n_buckets=args.buckets, analyzer=args.analyzer
+    )
     t0 = time.time()
     build_to_path(
         docs, args.output, cfg, bucket_group_size=args.group_size, resume=not args.no_resume
