@@ -333,6 +333,7 @@ def build_to_path(
     cfg: IndexConfig | None = None,
     bucket_group_size: int = 8,
     resume: bool = True,
+    stage_mode: str = "auto",
 ) -> None:
     """Materialize the index at ``path`` with checkpoint-resume + lineage.
 
@@ -343,6 +344,12 @@ def build_to_path(
          only computes lengths)
       3. per bucket-group: postings blocks (+ varint encode) and dfreq,
          reading only that group's partitions of the staged tf table
+
+    ``stage_mode``: how the tf table is shared between postings and
+    dfreq. ``"disk"`` = parquet staging (resumable, bounded memory — the
+    corpus-scale path); ``"cache"`` = ``persist()`` in one pass (skips
+    the staging write+read, right for small corpora where fixed I/O/job
+    overhead dominates); ``"auto"`` = disk at ≥200k docs else cache.
     """
     cfg = cfg or IndexConfig()
     spark = docs.sparkSession
@@ -368,33 +375,46 @@ def build_to_path(
             1
         ).write.mode("overwrite").parquet(f"{path}/stats")
         lin.finish("doclen", t0, docs_tokenized=n_docs)
-
-    # The tf table is ALWAYS staged: postings and dfreq both derive from
-    # it, and an unmaterialized plan would re-run the tokenize scan (the
-    # expensive pass over the full corpus) once per consumer — measured
-    # at 1M docs: staging costs ~25s (write+read) vs ~40s for one extra
-    # tokenize+agg, and it buys resume granularity + term-pruned reads.
-    if not (resume and lin.is_done("tf_stage")):
-        t0 = lin.start("tf_stage")
-        tf = _tf_table(docs, cfg)
-        # repartition by bucket routes each reduce task to one bucket
-        # directory (few output files); NO sort — postings re-sort by
-        # (tid, doc_id) anyway and dfreq is order-insensitive, so a term
-        # sort here would be 82M string comparisons for nothing but
-        # marginally better parquet RLE (measured: it cost ~20% of the
-        # whole build at local[4]).
-        (
-            tf.repartition(cfg.n_buckets, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/tf_stage")
+    else:
+        n_docs = int(
+            spark.read.parquet(f"{path}/stats").agg(F.sum("n_docs")).collect()[0][0]
         )
-        lin.finish("tf_stage", t0)
-    tf_staged = spark.read.parquet(f"{path}/tf_stage")
-    groups = [
-        list(range(g, min(g + bucket_group_size, cfg.n_buckets)))
-        for g in range(0, cfg.n_buckets, bucket_group_size)
-    ]
+
+    if stage_mode == "auto":
+        stage_mode = "disk" if n_docs >= 200_000 else "cache"
+
+    # The tf table is MATERIALIZED exactly once: postings and dfreq both
+    # derive from it, and an unmaterialized plan would re-run the tokenize
+    # scan (the expensive pass over the full corpus) once per consumer.
+    # disk mode (corpus scale): parquet staging — measured at 1M docs
+    # ~25s (write+read) vs ~40s for one extra tokenize+agg, plus resume
+    # granularity and bucket-pruned group reads. cache mode (small
+    # corpora): persist() — skips the staging I/O that dominates there.
+    if stage_mode == "disk":
+        if not (resume and lin.is_done("tf_stage")):
+            t0 = lin.start("tf_stage")
+            tf = _tf_table(docs, cfg)
+            # repartition by bucket routes each reduce task to one bucket
+            # directory (few output files); NO sort — postings re-sort by
+            # (tid, doc_id) anyway and dfreq is order-insensitive, so a
+            # term sort here would be 82M string comparisons for nothing
+            # but marginally better parquet RLE (measured: it cost ~20%
+            # of the whole build at local[4]).
+            (
+                tf.repartition(cfg.n_buckets, "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/tf_stage")
+            )
+            lin.finish("tf_stage", t0)
+        tf_staged = spark.read.parquet(f"{path}/tf_stage")
+        groups = [
+            list(range(g, min(g + bucket_group_size, cfg.n_buckets)))
+            for g in range(0, cfg.n_buckets, bucket_group_size)
+        ]
+    else:
+        tf_staged = _tf_table(docs, cfg).persist()
+        groups = [list(range(cfg.n_buckets))]  # one pass; cache is shared
     for group in groups:
         stage = f"postings_g{group[0]:04d}"
         if resume and lin.is_done(stage):
@@ -440,6 +460,8 @@ def build_to_path(
             bytes_compressed=int(pobs.get["nb"] or 0),
         )
 
+    if stage_mode != "disk":
+        tf_staged.unpersist()
     if not (resume and lin.is_done("tid_check")):
         # Postings are keyed by tid = xxhash64(term); dfreq keeps the
         # exact strings. Verify injectivity over THIS corpus's vocabulary

@@ -16,7 +16,9 @@ CFG = IndexConfig(block_size=64, n_buckets=8)
 @pytest.fixture(scope="module")
 def index_path(docs, tmp_path_factory):
     p = str(tmp_path_factory.mktemp("idx") / "index")
-    build_to_path(docs, p, CFG, bucket_group_size=4)
+    # stage_mode="disk": these tests pin the multi-group resumable path
+    # (auto would pick cache mode for this tiny corpus)
+    build_to_path(docs, p, CFG, bucket_group_size=4, stage_mode="disk")
     yield p
     shutil.rmtree(p, ignore_errors=True)
 
@@ -53,7 +55,7 @@ def test_resume_skips_done_stages(spark, docs, index_path):
             if f.endswith(".parquet"):
                 fp = os.path.join(root, f)
                 mtimes[fp] = os.path.getmtime(fp)
-    build_to_path(docs, index_path, CFG, bucket_group_size=4, resume=True)
+    build_to_path(docs, index_path, CFG, bucket_group_size=4, resume=True, stage_mode="disk")
     for fp, m in mtimes.items():
         assert os.path.getmtime(fp) == m, f"rewritten: {fp}"
 
@@ -63,11 +65,11 @@ def test_resume_completes_partial_build(spark, docs, tmp_path):
     marker; resume must rebuild exactly the missing groups and the final
     index must answer queries identically."""
     p = str(tmp_path / "index2")
-    build_to_path(docs, p, CFG, bucket_group_size=4)
+    build_to_path(docs, p, CFG, bucket_group_size=4, stage_mode="disk")
     import os
 
     os.remove(os.path.join(p, "_lineage", "postings_g0004.json"))
-    build_to_path(docs, p, CFG, bucket_group_size=4, resume=True)
+    build_to_path(docs, p, CFG, bucket_group_size=4, resume=True, stage_mode="disk")
     disk = read_index(spark, p)
     mem = build_index(docs, CFG)
     assert _rows(topk(disk, "hash join", k=10)) == _rows(topk(mem, "hash join", k=10))
