@@ -451,6 +451,27 @@ def _q_etl_config_pipeline(spark, sf_dir):
     )
 
 
+def _q_etl_resolve_json(spark, sf_dir):
+    # B11 JSON-facet form: resolved targets serialized to the reference's
+    # {"@id", display, search} strings
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.resolve_json(
+        fixture.spark_items(spark), fixture.spark_edges(spark), "author", "author"
+    )
+
+
+def _q_etl_geofilt(spark, sf_dir):
+    # geo resolve ('#lat,lon' @ids, intended convertSearch semantics) +
+    # Solr {!geofilt} radius query
+    from oni_indexer_spark.etl import fixture, ops
+
+    geo = ops.resolve_geo(fixture.spark_items(spark), fixture.spark_edges(spark))
+    return ops.geofilt(geo, -37.8, 145.0, 500).select(
+        "id", "latitude", "longitude", "dist_km"
+    )
+
+
 def _q_etl_fixpoint(spark, sf_dir):
     # B14: transitive closure of resolved items from the root dataset
     from oni_indexer_spark.etl import fixture, ops
@@ -570,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_unwrap_json": _q_etl_unwrap_json,
         "etl_config_pipeline": _q_etl_config_pipeline,
         "etl_resolve_fixpoint": _q_etl_fixpoint,
+        "etl_resolve_json_facet": _q_etl_resolve_json,
+        "etl_geofilt": _q_etl_geofilt,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
         "sim_ann_indexed": _q_ann_indexed,
@@ -647,6 +670,8 @@ def oracle_sql() -> dict[str, str]:
         "etl_unwrap_json": _etl_oracle.unwrap_json_sql(),
         "etl_config_pipeline": _etl_oracle.config_pipeline_sql(),
         "etl_resolve_fixpoint": _etl_oracle.resolve_fixpoint_sql(),
+        "etl_resolve_json_facet": _etl_oracle.resolve_json_sql(),
+        "etl_geofilt": _etl_oracle.geofilt_sql(-37.8, 145.0, 500),
         "dedup_minhash_lsh": _ops_dedup.minhash_lsh_pairs_sql(
             n_hashes=12, bands=4, threshold=0.3
         ),

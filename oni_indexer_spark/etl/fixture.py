@@ -62,6 +62,11 @@ EDGES: list[tuple[str, str, str]] = [
     ("d2", "about", "anzsrc-for-0806"),
     ("d2", "about", "anzsrc-seo-970108"),
     ("pl2", "address", "w-addr1"),
+    # geo links: the reference encodes coordinates IN the @id
+    # (doc/Solr_config.md:248-253 '#-37.808598,144.966347'); the targets
+    # are deliberately not items (dangling refs, like the source crates)
+    ("pl1", "geo", "#-37.8136,144.9631"),
+    ("pl2", "geo", "#51.5074,-0.1278"),
 ]
 
 ITEMS_SCHEMA = (

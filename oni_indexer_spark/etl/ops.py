@@ -121,6 +121,39 @@ def resolve(
     )
 
 
+def resolve_json(
+    items: DataFrame,
+    edges: DataFrame,
+    prop: str,
+    index_as: str,
+    display: str = "name",
+    search: str = "id",
+) -> DataFrame:
+    """B11's JSON-facet form: each resolved target serialized as the
+    reference's ``{"@id": id, "display": t[display], "search":
+    t[search]}`` string (``lib/ROCrateIndexer.js:612-617``; golden shape
+    ``test/ro-crate.spec.js:132-167`` — the portal's JSON-flagged facets
+    parse these back to id + display). Key order matches
+    ``JSON.stringify`` insertion order so oracles compare byte-equal."""
+    e = edges.where(F.col("property") == prop)
+    tgt = items.select(
+        F.col("id").alias("_tid"),
+        F.to_json(
+            F.struct(
+                F.col("id").alias("@id"),
+                F.col(display).alias("display"),
+                F.col(search).alias("search"),
+            )
+        ).alias(index_as),
+    )
+    return (
+        items.alias("i")
+        .join(e.alias("e"), F.col("i.id") == F.col("e.src"))
+        .join(tgt, F.col("e.dst") == F.col("_tid"))
+        .select(F.col("i.id").alias("id"), F.col(index_as))
+    )
+
+
 # --- B12: resolve via (multi-hop chains, lib/ROCrateIndexer.js:574-595) --
 
 def resolve_via(
@@ -271,6 +304,58 @@ def inherit(items: DataFrame, field: str, root_id: str) -> DataFrame:
         items.crossJoin(F.broadcast(root_val))
         .withColumn(field, F.coalesce(F.col(field), F.col("_root_val")))
         .drop("_root_val")
+    )
+
+
+# --- geo: lat/lon from geo links + geofilt (convertSearch 'lat,lon',
+#     lib/ROCrateIndexer.js:718-726; doc/Solr_config.md:248-253;
+#     test/solr-geo.spec.js). The reference's convertSearch has a JS
+#     comma-operator bug (returns longitude only); we implement the
+#     documented intent: a 'lat,lon' spatial value. -----------------------
+
+def resolve_geo(items: DataFrame, edges: DataFrame, prop: str = "geo") -> DataFrame:
+    """Parse each item's geo link ``#lat,lon`` @id into numeric
+    coordinates: (id, latitude, longitude, latlon)."""
+    e = edges.where(F.col("property") == prop)
+    coords = F.regexp_extract(F.col("dst"), r"^#(-?[0-9.]+),(-?[0-9.]+)$", 0)
+    lat = F.regexp_extract(F.col("dst"), r"^#(-?[0-9.]+),(-?[0-9.]+)$", 1).cast("double")
+    lon = F.regexp_extract(F.col("dst"), r"^#(-?[0-9.]+),(-?[0-9.]+)$", 2).cast("double")
+    return (
+        items.alias("i")
+        .join(e, F.col("i.id") == F.col("src"))
+        .where(coords != "")
+        .select(
+            F.col("i.id").alias("id"),
+            lat.alias("latitude"),
+            lon.alias("longitude"),
+            F.concat_ws(",", lat.cast("string"), lon.cast("string")).alias("latlon"),
+        )
+    )
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance (km), the Solr ``{!geofilt}`` metric."""
+    dphi = F.radians(lat2 - lat1)
+    dlmb = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+    )
+    return 2 * 6371.0 * F.asin(F.sqrt(a))
+
+
+def geofilt(
+    geo: DataFrame, lat: float, lon: float, d_km: float
+) -> DataFrame:
+    """Solr ``{!geofilt pt=lat,lon d=km}``: keep items within d_km of the
+    point, with the rounded distance attached."""
+    dist = haversine_km(
+        F.lit(float(lat)), F.lit(float(lon)), F.col("latitude"), F.col("longitude")
+    )
+    return (
+        geo.withColumn("dist_km", F.round(dist, 6))
+        .where(F.col("dist_km") <= d_km)
     )
 
 

@@ -260,3 +260,40 @@ SELECT r.id, min(r.depth)::int AS depth
 FROM reach r JOIN items i ON i.id = r.id
 GROUP BY r.id
 """.strip()
+
+
+def resolve_json_sql() -> str:
+    # B11 JSON-facet form: json_object argument order mirrors the
+    # engine's struct field order, so the serialized strings match
+    # byte-for-byte.
+    return f"""{sql_cte()}
+SELECT i.id AS id,
+       json_object('@id', t.id, 'display', t.name, 'search', t.id)::varchar AS author
+FROM items i
+JOIN edges e ON i.id = e.src AND e.property = 'author'
+JOIN items t ON e.dst = t.id
+""".strip()
+
+
+def geofilt_sql(lat: float, lon: float, d_km: float) -> str:
+    # geo resolve + Solr geofilt: identical haversine expression order so
+    # the rounded distances match bit-for-bit.
+    return f"""{sql_cte()},
+geo AS (
+  SELECT i.id AS id,
+    regexp_extract(e.dst, '^#(-?[0-9.]+),(-?[0-9.]+)$', 1)::double AS latitude,
+    regexp_extract(e.dst, '^#(-?[0-9.]+),(-?[0-9.]+)$', 2)::double AS longitude
+  FROM items i JOIN edges e ON i.id = e.src AND e.property = 'geo'
+  WHERE regexp_matches(e.dst, '^#(-?[0-9.]+),(-?[0-9.]+)$')
+),
+d AS (
+  SELECT id, latitude, longitude,
+    round(2 * 6371.0 * asin(sqrt(
+      sin(radians(latitude - {float(lat)}) / 2) * sin(radians(latitude - {float(lat)}) / 2)
+      + cos(radians({float(lat)})) * cos(radians(latitude))
+        * sin(radians(longitude - {float(lon)}) / 2) * sin(radians(longitude - {float(lon)}) / 2)
+    )), 6) AS dist_km
+  FROM geo
+)
+SELECT id, latitude, longitude, dist_km FROM d WHERE dist_km <= {float(d_km)}
+""".strip()
