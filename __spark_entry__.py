@@ -461,6 +461,33 @@ def _q_etl_resolve_json(spark, sf_dir):
     )
 
 
+def _q_etl_via_includes(spark, sf_dir):
+    # B12 'includes' hop filter (doc/Solr_config.md:280-291)
+    from oni_indexer_spark.etl import fixture, ops
+
+    return ops.resolve_via(
+        fixture.spark_items(spark),
+        fixture.spark_edges(spark),
+        [{"property": "about",
+          "includes": {"types": "DefinedTerm", "name": {"re": "Intelligence"}}}],
+        "subject",
+    )
+
+
+def _q_etl_subgraph(spark, sf_dir):
+    # B12 store_subgraph: index every item on the via path with its hop
+    from oni_indexer_spark.etl import fixture, ops
+
+    out = ops.resolve_via(
+        fixture.spark_items(spark),
+        fixture.spark_edges(spark),
+        ["conviction", "location"],
+        "ctx",
+        store_subgraph=True,
+    )
+    return out.select("id", "ctx", "ctx_id", F.col("hop").cast("int").alias("hop"))
+
+
 def _q_etl_geofilt(spark, sf_dir):
     # geo resolve ('#lat,lon' @ids, intended convertSearch semantics) +
     # Solr {!geofilt} radius query
@@ -593,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_resolve_fixpoint": _q_etl_fixpoint,
         "etl_resolve_json_facet": _q_etl_resolve_json,
         "etl_geofilt": _q_etl_geofilt,
+        "etl_via_includes": _q_etl_via_includes,
+        "etl_subgraph": _q_etl_subgraph,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
         "sim_ann_indexed": _q_ann_indexed,
@@ -672,6 +701,8 @@ def oracle_sql() -> dict[str, str]:
         "etl_resolve_fixpoint": _etl_oracle.resolve_fixpoint_sql(),
         "etl_resolve_json_facet": _etl_oracle.resolve_json_sql(),
         "etl_geofilt": _etl_oracle.geofilt_sql(-37.8, 145.0, 500),
+        "etl_via_includes": _etl_oracle.resolve_via_includes_sql(),
+        "etl_subgraph": _etl_oracle.resolve_subgraph_sql(),
         "dedup_minhash_lsh": _ops_dedup.minhash_lsh_pairs_sql(
             n_hashes=12, bands=4, threshold=0.3
         ),

@@ -159,25 +159,58 @@ def resolve_json(
 def resolve_via(
     items: DataFrame,
     edges: DataFrame,
-    via: list[str],
+    via: list,
     index_as: str,
     display: str = "name",
+    store_subgraph: bool = False,
 ) -> DataFrame:
     """Traverse a property chain (e.g. conviction → location), fanning
-    out at each hop — one equi-join per hop on the edges table."""
+    out at each hop — one equi-join per hop on the edges table.
+
+    ``via`` entries are property names or dicts with the reference's hop
+    options (``doc/Solr_config.md:280-291``): ``{"property": p,
+    "includes": spec}`` only follows hop targets matching the B3/B4
+    filter spec. ``store_subgraph=True`` (the reference's experimental
+    context-indexing option, ``doc/Solr_config.md:276-278``) emits EVERY
+    item passed through, with a ``hop`` column, instead of terminals
+    only; output is then (id, {index_as}, {index_as}_id, hop)."""
+    norm = [{"property": v} if isinstance(v, str) else v for v in via]
     cur = items.select(F.col("id").alias("src0"))
     prev = "src0"
-    for i, prop in enumerate(via):
-        e = edges.where(F.col("property") == prop).select(
+    hop_cols: list[str] = []
+    for i, hop in enumerate(norm):
+        e = edges.where(F.col("property") == hop["property"]).select(
             F.col("src").alias(f"_s{i}"), F.col("dst").alias(f"_d{i}")
         )
         cur = cur.join(e, F.col(prev) == F.col(f"_s{i}"))
+        if "includes" in hop:
+            inc = filter_items(items, hop["includes"]).select(
+                F.col("id").alias(f"_inc{i}")
+            )
+            cur = cur.join(inc, F.col(f"_d{i}") == F.col(f"_inc{i}"), "left_semi")
         prev = f"_d{i}"
+        hop_cols.append(prev)
     tgt = items.select(F.col("id").alias("_tid"), F.col(display).alias(index_as))
-    return (
-        cur.join(F.broadcast(tgt), F.col(prev) == F.col("_tid"))
-        .select(F.col("src0").alias("id"), F.col(index_as), F.col(prev).alias(f"{index_as}_id"))
-    )
+    if not store_subgraph:
+        return (
+            cur.join(F.broadcast(tgt), F.col(prev) == F.col("_tid"))
+            .select(F.col("src0").alias("id"), F.col(index_as), F.col(prev).alias(f"{index_as}_id"))
+        )
+    out = None
+    for hop_i, c in enumerate(hop_cols, start=1):
+        part = (
+            cur.select("src0", F.col(c).alias("_hop_id"))
+            .distinct()
+            .join(F.broadcast(tgt), F.col("_hop_id") == F.col("_tid"))
+            .select(
+                F.col("src0").alias("id"),
+                F.col(index_as),
+                F.col("_hop_id").alias(f"{index_as}_id"),
+                F.lit(hop_i).alias("hop"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # --- B10: match-partitioned multi-index (lib/ROCrateIndexer.js:398-414,

@@ -297,3 +297,32 @@ d AS (
 )
 SELECT id, latitude, longitude, dist_km FROM d WHERE dist_km <= {float(d_km)}
 """.strip()
+
+
+def resolve_via_includes_sql() -> str:
+    # B12 'includes' hop option: only follow 'about' targets that are
+    # DefinedTerms whose name matches /Intelligence/.
+    return f"""{sql_cte()}
+SELECT i.id AS id, t.name AS subject, e.dst AS subject_id
+FROM items i
+JOIN edges e ON i.id = e.src AND e.property = 'about'
+JOIN items t ON e.dst = t.id
+WHERE list_contains(t.types, 'DefinedTerm') AND regexp_matches(t.name, 'Intelligence')
+""".strip()
+
+
+def resolve_subgraph_sql() -> str:
+    # B12 store_subgraph: every item passed through the conviction ->
+    # location chain, with its hop index.
+    return f"""{sql_cte()}
+SELECT i.id AS id, t.name AS ctx, e1.dst AS ctx_id, 1 AS hop
+FROM items i
+JOIN edges e1 ON i.id = e1.src AND e1.property = 'conviction'
+JOIN items t ON e1.dst = t.id
+UNION ALL
+SELECT i.id, t.name, e2.dst, 2
+FROM items i
+JOIN edges e1 ON i.id = e1.src AND e1.property = 'conviction'
+JOIN edges e2 ON e1.dst = e2.src AND e2.property = 'location'
+JOIN items t ON e2.dst = t.id
+""".strip()
