@@ -255,6 +255,12 @@ def _q_quality(spark, sf_dir):
     return quality_score(_content_docs(spark, sf_dir))
 
 
+def _q_subword(spark, sf_dir):
+    from oni_indexer_spark.ops.text import subword_count
+
+    return subword_count(_content_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     from oni_indexer_spark.ops.text import fingerprint
 
@@ -595,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "text_subword_count": _q_subword,
         "dedup_minhash_sig": _q_minhash,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_jaccard,
@@ -676,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _ops_text.lang_id_sql(),
         "text_quality": _ops_text.quality_score_sql(),
         "text_fingerprint": _ops_text.fingerprint_sql(),
+        "text_subword_count": _ops_text.subword_count_sql(),
         "dedup_minhash_sig": _ops_dedup.minhash_signatures_sql(n_hashes=8),
         "dedup_simhash": _ops_dedup.simhash_sql(bits=16),
         "dedup_ngram_jaccard": _ops_dedup.jaccard_pairs_sql(n=3, threshold=0.2),

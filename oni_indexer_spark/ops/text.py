@@ -49,6 +49,40 @@ def token_count_sql(table: str = "documents", text: str = "text") -> str:
     )
 
 
+# BPE-ish subword pieces: the GPT-2-style pre-tokenizer regex shape —
+# letter runs, digit runs, punctuation runs, each an eventual merge seed.
+# A real BPE's merged-token count is bounded above by this piece count,
+# so it's the standard cheap budget estimator for LLM training data.
+SUBWORD_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def subword_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_subword_pieces): whitespace token count +
+    BPE-ish pre-token piece count — the two budget numbers a training
+    pipeline tracks per document."""
+    ws = F.size(F.split(F.trim(F.col("content")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("content"))) == 0, F.lit(0))
+        .otherwise(ws)
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("content"), F.lit(SUBWORD_PATTERN), 0))
+        .cast("long")
+        .alias("n_subword_pieces"),
+    )
+
+
+def subword_count_sql(table: str = "documents", text: str = "text") -> str:
+    return f"""
+SELECT doc_id,
+  CASE WHEN len(trim({text})) = 0 THEN 0
+       ELSE len(str_split_regex(trim({text}), '\\s+')) END::bigint AS n_ws_tokens,
+  len(regexp_extract_all({text}, '{SUBWORD_PATTERN}'))::bigint AS n_subword_pieces
+FROM {table}
+""".strip()
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-ratio language scores + argmax prediction (deterministic
     tie-break: language code asc)."""
