@@ -305,6 +305,17 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_cosine_pairs(spark, sf_dir):
+    # embedding-cosine near-dup pairs (bounded slice: the brute-force
+    # all-pairs verifier; the LSH path is the scale route)
+    from oni_indexer_spark.ops.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 150
+    )
+    return cosine_pairs(emb, threshold=0.2)
+
+
 def _q_ann_indexed(spark, sf_dir):
     # materialized bucket-partitioned ANN index: one-shard probe
     import tempfile
@@ -632,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
         "sim_ann_indexed": _q_ann_indexed,
+        "sim_cosine_pairs": _q_cosine_pairs,
         "multimodal_features": _q_multimodal,
     }
 
@@ -717,5 +729,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh": _ops_sim.lsh_bucket_topk_sql(_QUERY_VEC, k=10, n_planes=4),
         # the materialized index returns the same rows as the inline probe
         "sim_ann_indexed": _ops_sim.lsh_bucket_topk_sql(_QUERY_VEC, k=10, n_planes=4),
+        "sim_cosine_pairs": _ops_sim.cosine_pairs_sql(threshold=0.2, max_vec_id=150),
         "multimodal_features": _mm.features_exploded_sql(n=48, dim=8),
     }

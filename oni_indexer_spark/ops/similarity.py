@@ -143,6 +143,31 @@ def lsh_bucket_topk(
     return cosine_topk(bucketed.where(F.col("bucket") == qbucket), query_vec, k, vec_col)
 
 
+def cosine_pairs_sql(
+    threshold: float = 0.95, table: str = "embeddings", max_vec_id: int | None = None
+) -> str:
+    """DuckDB twin of :func:`cosine_pairs` (same left-fold arithmetic);
+    ``max_vec_id`` bounds the quadratic join for oracle-sized runs."""
+    lim = f"WHERE vec_id < {max_vec_id}" if max_vec_id is not None else ""
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),"
+        " s -> s[1]::double * s[2]::double)), (x,y) -> x+y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}.embedding,"
+        " x -> x::double * x::double)), (x,y) -> x+y))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM {table} {lim}),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({dot} / ({norm.format(v='a')} * {norm.format(v='b')}), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {threshold}
+""".strip()
+
+
 def build_ann_index(
     emb: DataFrame, path: str, n_planes: int = 8, vec_col: str = "embedding"
 ) -> None:
