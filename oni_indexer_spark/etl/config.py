@@ -124,7 +124,10 @@ def compile_type_pipeline(
         # scalar column transforms
         src = base
         if fcf.get("inherit") and root_id is not None:
-            src = ops.inherit(base, field, root_id)
+            # root lookup goes against the UNFILTERED items frame: the
+            # canonical case is Person.license inheriting from the root
+            # Dataset, and the root is not of the dispatched type
+            src = ops.inherit(base, field, root_id, root_source=items)
         val = F.col(field)
         validate = fcf.get("validate")
         if validate == "date":

@@ -128,13 +128,19 @@ def resolve_json(
     index_as: str,
     display: str = "name",
     search: str = "id",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """B11's JSON-facet form: each resolved target serialized as the
     reference's ``{"@id": id, "display": t[display], "search":
     t[search]}`` string (``lib/ROCrateIndexer.js:612-617``; golden shape
     ``test/ro-crate.spec.js:132-167`` — the portal's JSON-flagged facets
     parse these back to id + display). Key order matches
-    ``JSON.stringify`` insertion order so oracles compare byte-equal."""
+    ``JSON.stringify`` insertion order so oracles compare byte-equal.
+
+    ``broadcast`` follows :func:`resolve`'s contract: None (default) lets
+    AQE decide from runtime size stats — the target side is derived from
+    ``items`` itself, so forcing a broadcast would OOM the driver on
+    corpus-sized item tables."""
     e = edges.where(F.col("property") == prop)
     tgt = items.select(
         F.col("id").alias("_tid"),
@@ -146,12 +152,16 @@ def resolve_json(
             )
         ).alias(index_as),
     )
-    return (
+    if broadcast is True:
+        tgt = F.broadcast(tgt)
+    j2 = (
         items.alias("i")
         .join(e.alias("e"), F.col("i.id") == F.col("e.src"))
         .join(tgt, F.col("e.dst") == F.col("_tid"))
-        .select(F.col("i.id").alias("id"), F.col(index_as))
     )
+    if broadcast is False:
+        j2 = j2.hint("shuffle_hash")
+    return j2.select(F.col("i.id").alias("id"), F.col(index_as))
 
 
 # --- B12: resolve via (multi-hop chains, lib/ROCrateIndexer.js:574-595) --
@@ -163,6 +173,7 @@ def resolve_via(
     index_as: str,
     display: str = "name",
     store_subgraph: bool = False,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Traverse a property chain (e.g. conviction → location), fanning
     out at each hop — one equi-join per hop on the edges table.
@@ -173,7 +184,12 @@ def resolve_via(
     filter spec. ``store_subgraph=True`` (the reference's experimental
     context-indexing option, ``doc/Solr_config.md:276-278``) emits EVERY
     item passed through, with a ``hop`` column, instead of terminals
-    only; output is then (id, {index_as}, {index_as}_id, hop)."""
+    only; output is then (id, {index_as}, {index_as}_id, hop).
+
+    ``broadcast`` follows :func:`resolve`'s contract: the display-lookup
+    side is projected from ``items`` itself, so the default (None) leaves
+    the strategy to AQE's size stats rather than forcing a broadcast that
+    would OOM on corpus-sized item tables."""
     norm = [{"property": v} if isinstance(v, str) else v for v in via]
     cur = items.select(F.col("id").alias("src0"))
     prev = "src0"
@@ -191,17 +207,23 @@ def resolve_via(
         prev = f"_d{i}"
         hop_cols.append(prev)
     tgt = items.select(F.col("id").alias("_tid"), F.col(display).alias(index_as))
+    if broadcast is True:
+        tgt = F.broadcast(tgt)
     if not store_subgraph:
-        return (
-            cur.join(F.broadcast(tgt), F.col(prev) == F.col("_tid"))
-            .select(F.col("src0").alias("id"), F.col(index_as), F.col(prev).alias(f"{index_as}_id"))
+        j = cur.join(tgt, F.col(prev) == F.col("_tid"))
+        if broadcast is False:
+            j = j.hint("shuffle_hash")
+        return j.select(
+            F.col("src0").alias("id"),
+            F.col(index_as),
+            F.col(prev).alias(f"{index_as}_id"),
         )
     out = None
     for hop_i, c in enumerate(hop_cols, start=1):
         part = (
             cur.select("src0", F.col(c).alias("_hop_id"))
             .distinct()
-            .join(F.broadcast(tgt), F.col("_hop_id") == F.col("_tid"))
+            .join(tgt, F.col("_hop_id") == F.col("_tid"))
             .select(
                 F.col("src0").alias("id"),
                 F.col(index_as),
@@ -282,12 +304,22 @@ def resolve_fixpoint(
     each iteration shuffles only the FRONTIER (new ids), not the closure,
     so the work is O(edges-touched), Semi-naive Datalog style. The depth
     bound (default 20) caps pathological cycles; convergence (empty
-    frontier) exits early — entity graphs are shallow."""
+    frontier) exits early — entity graphs are shallow.
+
+    Semantics (matched exactly by the recursive-CTE oracle): only ids
+    that exist as items are indexed OR traversed through — a dangling
+    @id resolves to nothing and its outgoing edges (if any) are not
+    followed; non-item seed ids are dropped, not emitted at depth 0."""
     e = edges
     if properties is not None:
         e = e.where(F.col("property").isin(properties))
     e = e.select(F.col("src").alias("_src"), F.col("dst").alias("_dst"))
-    seen = seed_ids.select("id").distinct().withColumn("depth", F.lit(0))
+    seen = (
+        seed_ids.select("id")
+        .distinct()
+        .join(items.select("id"), "id", "left_semi")
+        .withColumn("depth", F.lit(0))
+    )
     frontier = seen.select("id")
     for depth in range(1, max_iters + 1):
         nxt = (
@@ -321,16 +353,28 @@ def resolve_reverse(
 
 # --- B16: inherit (lib/ROCrateIndexer.js:374-385) ------------------------
 
-def inherit(items: DataFrame, field: str, root_id: str) -> DataFrame:
+def inherit(
+    items: DataFrame,
+    field: str,
+    root_id: str,
+    root_source: DataFrame | None = None,
+) -> DataFrame:
     """Items lacking ``field`` copy it from the root item (one level,
     straight to root) — broadcast 1-row aggregate + coalesce.
+
+    ``root_source`` is where the root item is looked up; it defaults to
+    ``items`` but MUST be the unfiltered item table when ``items`` is a
+    type-filtered slice — the reference's canonical use is Person.license
+    inheriting from the root Dataset (``lib/ROCrateIndexer.js:374-385``),
+    and the root is almost never of the dispatched type.
 
     The root lookup is collapsed to EXACTLY one row via max() (max of one
     value, or NULL when the root id is absent) so a missing root degrades
     to "no inheritance" — the same semantics as the oracle's scalar
     subquery — instead of a 0-row crossJoin dropping every item."""
+    src = items if root_source is None else root_source
     root_val = (
-        items.where(F.col("id") == root_id)
+        src.where(F.col("id") == root_id)
         .agg(F.max(F.col(field)).alias("_root_val"))
     )
     return (

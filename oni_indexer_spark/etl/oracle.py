@@ -247,17 +247,23 @@ FROM ds
 def resolve_fixpoint_sql(seed: str = ROOT_ID, max_iters: int = 20) -> str:
     # B14: BFS min-depth reachability as a recursive CTE (the intended
     # transitive-closure semantics of the reference's resolvedItemsToIndex
-    # queue). Restricted to ids that exist as items, like the engine.
+    # queue). Traversal is restricted to ids that exist as items IN THE
+    # RECURSIVE TERM (and the seed must be an item), exactly like the
+    # engine's per-hop left_semi — a dangling @id has no item to index
+    # and is not traversed THROUGH either, so engine and oracle agree on
+    # graphs with non-item intermediate nodes.
     return f"""{sql_cte().replace("WITH items", "WITH RECURSIVE items", 1)},
 reach(id, depth) AS (
-  SELECT '{seed}', 0
+  SELECT id, 0 FROM items WHERE id = '{seed}'
   UNION
   SELECT e.dst, r.depth + 1
-  FROM reach r JOIN edges e ON e.src = r.id
+  FROM reach r
+  JOIN edges e ON e.src = r.id
+  JOIN items i2 ON i2.id = e.dst
   WHERE r.depth < {max_iters}
 )
 SELECT r.id, min(r.depth)::int AS depth
-FROM reach r JOIN items i ON i.id = r.id
+FROM reach r
 GROUP BY r.id
 """.strip()
 

@@ -32,8 +32,10 @@ must do explicitly):
 * **One tokenize pass.** ``build_to_path`` stages the term-frequency
   table ``(term, doc_id, tf, dl)`` bucket-partitioned by
   ``pmod(xxhash64(term), n_buckets)`` — tokenization (the expensive scan
-  over 100 TB of content) runs once; postings AND dfreq derive from the
-  staged table (an unmaterialized plan would re-tokenize per consumer).
+  over 100 TB of content) runs once; postings, dfreq AND doclen's dl all
+  derive from the staged table (an unmaterialized plan would re-tokenize
+  per consumer; doclen's remaining content scan computes only
+  sha256 + metadata).
 * **Memory-bandwidth-lean postings path** (round-2 event-log finding:
   the reduce stage is DRAM-bound, CPU inflating +67% at 4x threads):
   postings rows carry only ``(tid, doc_id, tf, dl)`` — 8-byte
@@ -53,6 +55,8 @@ must do explicitly):
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -103,6 +107,32 @@ class IndexTables(NamedTuple):
     dfreq: DataFrame
     stats: DataFrame
     cfg: IndexConfig
+    # backing directory when opened via read_index — lets invalidation
+    # refresh Spark's cached file listings after append/overwrite (a
+    # parquet DataFrame pins the file index captured at read time)
+    path: str | None = None
+
+
+def _cfg_from_meta(meta: dict, path: str) -> IndexConfig:
+    """Validate the on-disk format version and decode IndexConfig from
+    index metadata. EVERY reader/mutator of an existing index goes
+    through this — appending v3-layout files into a v1/v2 index would
+    silently corrupt it, so a version mismatch fails loudly here."""
+    fmt = meta.get("format", 1)
+    if fmt != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index at {path} has on-disk format v{fmt}; this engine reads "
+            f"v{INDEX_FORMAT_VERSION} — rebuild with build_to_path"
+        )
+    return IndexConfig(
+        k1=meta["k1"],
+        b=meta["b"],
+        block_size=meta["block_size"],
+        n_buckets=meta["n_buckets"],
+        seg_blocks=meta["seg_blocks"],
+        analyzer=meta["analyzer"],
+        compress=meta["compress"],
+    )
 
 
 def term_bucket(term: Column, n_buckets: int) -> Column:
@@ -139,6 +169,31 @@ def _doclen_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
         F.size(analyzer_tokens("content", cfg.analyzer)).alias("dl"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         _seg_of(F.col("doc_id"), cfg).alias("seg"),
+    )
+
+
+def _doclen_from_tf(docs: DataFrame, tf: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """doclen derived from an already-materialized tf table — the content
+    scan here computes ONLY sha256 + metadata; dl comes from the staged
+    tf rows (every (term, doc) row carries the doc's dl), so the regex
+    tokenize pass over the corpus runs exactly once per build. Docs with
+    zero tokens have no tf rows → dl = 0 via the left join's coalesce.
+    The dl aggregate is map-side combinable to n_docs rows, so the join
+    shuffles O(n_docs), not O(postings)."""
+    meta = [c for c in cfg.meta_cols if c in docs.columns]
+    dl_per_doc = tf.groupBy("doc_id").agg(F.max("dl").alias("_dl"))
+    return (
+        docs.select(
+            "doc_id", *meta, F.sha2(F.col("content"), 256).alias("content_sha256")
+        )
+        .join(dl_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            *meta,
+            F.coalesce(F.col("_dl"), F.lit(0)).cast("int").alias("dl"),
+            "content_sha256",
+            _seg_of(F.col("doc_id"), cfg).alias("seg"),
+        )
     )
 
 
@@ -364,40 +419,16 @@ def build_to_path(
     if docs.rdd.getNumPartitions() < min(target, 2 * cfg.n_buckets):
         docs = docs.repartition(min(target, 2 * cfg.n_buckets))
 
-    if not (resume and lin.is_done("doclen")):
-        t0 = lin.start("doclen")
-        from pyspark.sql import Observation
-
-        obs = Observation("doclen_stats")
-        # No range repartition: it costs a sampling job + a full shuffle,
-        # and input partitions are already doc_id-ordered in practice, so
-        # parquet min/max stats on doc_id still prune id lookups. (Also:
-        # an observe BELOW repartitionByRange double-counts — the sampling
-        # pass re-executes the child plan; caught by the parity test.)
-        doclen = _doclen_table(docs, cfg).observe(
-            obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        )
-        doclen.write.mode("overwrite").partitionBy("seg").parquet(f"{path}/doclen")
-        # stats ride along with the write job (Observation) — no re-read
-        n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"] or 0.0)
-        # NOTE no coalesce(1): coalescing a parallelized 1-row frame to
-        # one task stalls ~5s on locality-wait scheduling (measured);
-        # empty partitions write no parquet files anyway.
-        spark.createDataFrame(
-            [(n_docs, float(avgdl))], "n_docs long, avgdl double"
-        ).write.mode("overwrite").parquet(f"{path}/stats")
-        lin.finish("doclen", t0, docs_tokenized=n_docs)
-    else:
-        n_docs = int(
-            spark.read.parquet(f"{path}/stats").agg(F.sum("n_docs")).collect()[0][0]
-        )
-
     if stage_mode == "auto":
-        stage_mode = "disk" if n_docs >= 200_000 else "cache"
+        # decide from a metadata-cheap count (parquet footer counts — no
+        # content scan); the tokenize pass hasn't run yet, since tf
+        # staging now precedes doclen so content is tokenized exactly once
+        stage_mode = "disk" if docs.count() >= 200_000 else "cache"
 
-    # The tf table is MATERIALIZED exactly once: postings and dfreq both
-    # derive from it, and an unmaterialized plan would re-run the tokenize
-    # scan (the expensive pass over the full corpus) once per consumer.
+    # The tf table is MATERIALIZED exactly once and it is the ONLY
+    # tokenize pass of the build: postings, dfreq AND doclen's dl all
+    # derive from it (an unmaterialized plan would re-run the regex scan
+    # over the full corpus once per consumer).
     # disk mode (corpus scale): parquet staging — measured at 1M docs
     # ~25s (write+read) vs ~40s for one extra tokenize+agg, plus resume
     # granularity and bucket-pruned group reads. cache mode (small
@@ -427,6 +458,32 @@ def build_to_path(
     else:
         tf_staged = _tf_table(docs, cfg).persist()
         groups = [list(range(cfg.n_buckets))]  # one pass; cache is shared
+
+    if not (resume and lin.is_done("doclen")):
+        t0 = lin.start("doclen")
+        from pyspark.sql import Observation
+
+        obs = Observation("doclen_stats")
+        # No range repartition: it costs a sampling job + a full shuffle,
+        # and input partitions are already doc_id-ordered in practice, so
+        # parquet min/max stats on doc_id still prune id lookups. (Also:
+        # an observe BELOW repartitionByRange double-counts — the sampling
+        # pass re-executes the child plan; caught by the parity test.)
+        # dl derives from the staged tf table — the content scan here
+        # computes only sha256 + metadata (no second tokenize).
+        doclen = _doclen_from_tf(docs, tf_staged, cfg).observe(
+            obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        )
+        doclen.write.mode("overwrite").partitionBy("seg").parquet(f"{path}/doclen")
+        # stats ride along with the write job (Observation) — no re-read
+        n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"] or 0.0)
+        # NOTE no coalesce(1): coalescing a parallelized 1-row frame to
+        # one task stalls ~5s on locality-wait scheduling (measured);
+        # empty partitions write no parquet files anyway.
+        spark.createDataFrame(
+            [(n_docs, float(avgdl))], "n_docs long, avgdl double"
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+        lin.finish("doclen", t0, docs_tokenized=n_docs)
     for group in groups:
         stage = f"postings_g{group[0]:04d}"
         if resume and lin.is_done(stage):
@@ -521,17 +578,9 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
     (tests/test_append.py).
     """
     spark = docs_new.sparkSession
+    _replay_pending_swap(path)
     lin = L.Lineage(spark, path)
-    meta = lin.read_meta()
-    cfg = IndexConfig(
-        k1=meta["k1"],
-        b=meta["b"],
-        block_size=meta["block_size"],
-        n_buckets=meta["n_buckets"],
-        seg_blocks=meta.get("seg_blocks", 8192),
-        analyzer=meta.get("analyzer", "code"),
-        compress=meta["compress"],
-    )
+    cfg = _cfg_from_meta(lin.read_meta(), path)
     new_min = docs_new.agg(F.min("doc_id")).collect()[0][0]
     if new_min is None:
         return
@@ -547,8 +596,12 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
 
     from pyspark.sql import Observation
 
+    # one tokenize pass per batch: tf is persisted and doclen's dl,
+    # postings and dfreq all derive from it (unmaterialized, each of the
+    # three consumers would re-run the regex scan)
+    tf = _tf_table(docs_new, cfg).persist()
     obs = Observation(f"append_stats_{stage}")
-    doclen = _doclen_table(docs_new, cfg).observe(
+    doclen = _doclen_from_tf(docs_new, tf, cfg).observe(
         obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
     doclen.write.mode("append").partitionBy("seg").parquet(f"{path}/doclen")
@@ -557,18 +610,23 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
         [(n_docs, float(obs.get["avgdl"] or 0.0))], "n_docs long, avgdl double"
     ).write.mode("append").parquet(f"{path}/stats")
 
-    tf = _tf_table(docs_new, cfg)
     blocks = _postings_blocks(tf, cfg)
     blocks.write.mode("append").partitionBy("bucket", "seg").parquet(f"{path}/postings")
     _dfreq_table(tf).write.mode("append").partitionBy("bucket").parquet(f"{path}/dfreq")
+    tf.unpersist()
     lin.finish(stage, t0, docs_tokenized=n_docs)
     # searchers memoize N/avgdl/df; the index just grew under them
     from oni_indexer_spark.query.bm25 import invalidate_searchers
 
-    invalidate_searchers()
+    invalidate_searchers(path)
 
 
-def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) -> None:
+def overwrite_docs(
+    docs_new: DataFrame,
+    path: str,
+    batch_id: str | None = None,
+    _fault_after_stage: bool = False,
+) -> None:
     """C11 same-id overwrite — the reference's everyday re-index cycle
     (``oni-indexer.js:160`` posts with ``overwrite=true``; Solr replaces
     the doc). ``docs_new`` may carry EXISTING doc_ids (replaced) and/or
@@ -577,11 +635,10 @@ def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) 
 
     Write amplification is bounded by the seg partition level: only the
     (bucket, seg) postings directories and seg doclen directories whose
-    doc-ranges contain changed docs are rewritten (merged data
-    materialized via localCheckpoint, affected dirs deleted, appended —
-    see the inline note on why NOT dynamic partition overwrite) — the
-    Lucene segment-rewrite analogue, everything else is untouched.
-    Exactness bookkeeping:
+    doc-ranges contain changed docs are rewritten (merged data staged to
+    sibling ``.next`` dirs, then swapped in — see the inline note on why
+    NOT dynamic partition overwrite) — the Lucene segment-rewrite
+    analogue, everything else is untouched. Exactness bookkeeping:
 
     - postings: affected segs decode → survivors (anti-join changed ids)
       union the new docs' postings → re-encode. Block-max metadata of
@@ -594,25 +651,23 @@ def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) 
       docs' avgdl, +n_new at theirs); Searcher's weighted sum stays
       exact.
 
-    Caveat (documented, inherent to raw parquet): the delete-then-append
-    window is not atomic — a crash inside it can lose the affected segs. The north_star's production target is an Iceberg
-    catalog whose snapshot swap closes this window; on raw parquet the
-    lineage row is only marked done after all writes succeed, so an
-    interrupted overwrite is detectable (status=running) and must be
-    restored from the source corpus.
+    Crash safety (raw-parquet snapshot-swap, the Iceberg-commit analogue):
+    every rewritten table is first STAGED side-by-side (``postings.next``,
+    ``doclen.next``, ``dfreq.next``, ``stats.next``) while the live index
+    keeps answering queries; then a durable swap manifest
+    (``_pending_swap.json``) is written and the swap — per-directory
+    delete+rename — is applied by :func:`_apply_swap`. A crash BEFORE the
+    manifest leaves the live index untouched (stale ``.next`` dirs are
+    overwritten by the next attempt); a crash DURING the swap is healed by
+    replaying the manifest (idempotent: each staged dir is renamed at most
+    once) — ``read_index`` and the mutators replay it automatically.
+    ``_fault_after_stage`` is a test hook simulating a crash right after
+    the manifest write (tests/test_overwrite.py crash-injection).
     """
     spark = docs_new.sparkSession
+    _replay_pending_swap(path)
     lin = L.Lineage(spark, path)
-    meta = lin.read_meta()
-    cfg = IndexConfig(
-        k1=meta["k1"],
-        b=meta["b"],
-        block_size=meta["block_size"],
-        n_buckets=meta["n_buckets"],
-        seg_blocks=meta.get("seg_blocks", 8192),
-        analyzer=meta.get("analyzer", "code"),
-        compress=meta["compress"],
-    )
+    cfg = _cfg_from_meta(lin.read_meta(), path)
     ids_row = docs_new.agg(
         F.min("doc_id").alias("lo"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
@@ -677,33 +732,31 @@ def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) 
     )
     merged_df.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/dfreq.next")
 
-    # --- postings + doclen: rewrite affected dirs. NOT dynamic-overwrite:
-    # a (bucket, seg) dir whose every posting belonged to changed docs
-    # would produce no new rows, and dynamic overwrite only replaces
-    # partitions PRESENT in the new data — the stale dir would survive.
-    # Instead: materialize the merged data (localCheckpoint, eager — also
-    # closes the read-your-sources hazard), delete the affected dirs,
-    # append.
-    import shutil
-
+    # --- postings + doclen: stage the merged affected segs side-by-side.
+    # NOT dynamic-overwrite on the live dirs: a (bucket, seg) dir whose
+    # every posting belonged to changed docs would produce no new rows,
+    # and dynamic overwrite only replaces partitions PRESENT in the new
+    # data — the stale dir would survive. The staged write is also what
+    # makes the mutation crash-safe: the live index is untouched (and
+    # still serving queries) until the manifest-driven swap below, and
+    # writing to a sibling dir closes the read-your-sources hazard that
+    # previously needed a localCheckpoint.
     new_slim = tf_new.select(F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl")
     blocks = _postings_blocks_tid(
         survivors.select("tid", "doc_id", "tf", "dl").unionByName(new_slim), cfg
-    ).localCheckpoint()
-    keep_cols = list(doclen_seg.columns)
-    doclen_merged = (
-        doclen_seg.join(changed, "doc_id", "left_anti")
-        .unionByName(_doclen_table(docs_new, cfg).select(*keep_cols))
-        .localCheckpoint()
     )
-    for s in segs:
-        shutil.rmtree(f"{path}/doclen/seg={s}", ignore_errors=True)
-        for b in range(cfg.n_buckets):
-            shutil.rmtree(f"{path}/postings/bucket={b}/seg={s}", ignore_errors=True)
-    blocks.write.mode("append").partitionBy("bucket", "seg").parquet(f"{path}/postings")
-    doclen_merged.write.mode("append").partitionBy("seg").parquet(f"{path}/doclen")
+    blocks.write.mode("overwrite").partitionBy("bucket", "seg").parquet(
+        f"{path}/postings.next"
+    )
+    keep_cols = list(doclen_seg.columns)
+    doclen_merged = doclen_seg.join(changed, "doc_id", "left_anti").unionByName(
+        _doclen_table(docs_new, cfg).select(*keep_cols)
+    )
+    doclen_merged.write.mode("overwrite").partitionBy("seg").parquet(
+        f"{path}/doclen.next"
+    )
 
-    # --- stats correction rows
+    # --- stats correction rows (staged; appended to stats/ by the swap)
     new_stats = _doclen_table(docs_new, cfg).agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -711,40 +764,112 @@ def overwrite_docs(docs_new: DataFrame, path: str, batch_id: str | None = None) 
     if n_removed:
         rows.append((-n_removed, avgdl_removed))
     spark.createDataFrame(rows, "n_docs long, avgdl double").write.mode(
-        "append"
-    ).parquet(f"{path}/stats")
+        "overwrite"
+    ).parquet(f"{path}/stats.next")
 
-    # swap dfreq last (it was fully staged; postings/doclen used dynamic
-    # per-partition overwrite)
+    _write_swap_manifest(path, segs, cfg.n_buckets)
+    if _fault_after_stage:  # crash-injection point (tests/test_overwrite.py)
+        raise RuntimeError("injected crash: swap manifest written, swap not applied")
+    _apply_swap(path)
+    lin.finish(stage, t0, docs_tokenized=int(ids_row["n"]), docs_removed=n_removed)
+    invalidate_searchers(path)
+
+
+# --- overwrite swap machinery: stage → durable manifest → idempotent swap
+
+
+def _swap_manifest_path(path: str) -> str:
+    return os.path.join(path, "_pending_swap.json")
+
+
+def _write_swap_manifest(path: str, segs: list, n_buckets: int) -> None:
+    """Record, BEFORE any live-dir mutation, exactly which directories the
+    swap will replace (staged dir exists → move) or remove (no staged
+    counterpart → a (bucket, seg) whose every posting was overwritten
+    away). Written atomically (tmp + rename) so a torn manifest is never
+    observed."""
+    moves: list[list[str]] = []  # [staged_rel, live_rel]
+    deletes: list[str] = []  # live_rel with no replacement
+    for s in segs:
+        rel = f"doclen/seg={s}"
+        if os.path.isdir(os.path.join(path, "doclen.next", f"seg={s}")):
+            moves.append([f"doclen.next/seg={s}", rel])
+        else:
+            deletes.append(rel)
+        for b in range(n_buckets):
+            rel = f"postings/bucket={b}/seg={s}"
+            staged = f"postings.next/bucket={b}/seg={s}"
+            if os.path.isdir(os.path.join(path, staged)):
+                moves.append([staged, rel])
+            else:
+                deletes.append(rel)
+    man = {"moves": moves, "deletes": deletes}
+    tmp = _swap_manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _swap_manifest_path(path))
+
+
+def _apply_swap(path: str) -> None:
+    """Apply (or re-apply after a crash) a pending overwrite swap. Every
+    step is idempotent: deletes are of dirs that are never recreated;
+    each staged dir is renamed at most once (skipped when already moved);
+    staged stats part-files move individually (unique part names);
+    dfreq.next replaces dfreq only while it still exists. The manifest is
+    removed LAST, so any prefix of this function can be replayed."""
     import shutil
 
-    shutil.rmtree(f"{path}/dfreq")
-    shutil.move(f"{path}/dfreq.next", f"{path}/dfreq")
-    lin.finish(stage, t0, docs_tokenized=int(ids_row["n"]), docs_removed=n_removed)
-    invalidate_searchers()
+    mpath = _swap_manifest_path(path)
+    if not os.path.exists(mpath):
+        return
+    with open(mpath) as f:
+        man = json.load(f)
+    for rel in man["deletes"]:
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+    for staged_rel, live_rel in man["moves"]:
+        staged = os.path.join(path, staged_rel)
+        live = os.path.join(path, live_rel)
+        if os.path.isdir(staged):
+            shutil.rmtree(live, ignore_errors=True)
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(staged, live)
+    stats_next = os.path.join(path, "stats.next")
+    if os.path.isdir(stats_next):
+        for name in os.listdir(stats_next):
+            if name.startswith("part-"):
+                os.rename(
+                    os.path.join(stats_next, name),
+                    os.path.join(path, "stats", name),
+                )
+        shutil.rmtree(stats_next, ignore_errors=True)
+    dfreq_next = os.path.join(path, "dfreq.next")
+    if os.path.isdir(dfreq_next):
+        shutil.rmtree(os.path.join(path, "dfreq"), ignore_errors=True)
+        os.rename(dfreq_next, os.path.join(path, "dfreq"))
+    for leftover in ("postings.next", "doclen.next"):
+        shutil.rmtree(os.path.join(path, leftover), ignore_errors=True)
+    os.remove(mpath)
+
+
+def _replay_pending_swap(path: str) -> None:
+    """Self-heal hook: finish a crashed overwrite's swap before reading
+    or mutating the index (no-op when no manifest is pending)."""
+    if os.path.exists(_swap_manifest_path(path)):
+        _apply_swap(path)
 
 
 def read_index(spark: SparkSession, path: str) -> IndexTables:
-    meta = L.Lineage(spark, path).read_meta()
-    fmt = meta.get("format", 1)
-    if fmt != INDEX_FORMAT_VERSION:
-        raise ValueError(
-            f"index at {path} has on-disk format v{fmt}; this engine reads "
-            f"v{INDEX_FORMAT_VERSION} — rebuild with build_to_path"
-        )
-    cfg = IndexConfig(
-        k1=meta["k1"],
-        b=meta["b"],
-        block_size=meta["block_size"],
-        n_buckets=meta["n_buckets"],
-        seg_blocks=meta.get("seg_blocks", 8192),
-        analyzer=meta.get("analyzer", "code"),
-        compress=meta["compress"],
-    )
+    # self-heal: an overwrite_docs that crashed mid-swap left a durable
+    # swap manifest; replaying it is idempotent and restores consistency
+    _replay_pending_swap(path)
+    cfg = _cfg_from_meta(L.Lineage(spark, path).read_meta(), path)
     return IndexTables(
         spark.read.parquet(f"{path}/postings"),
         spark.read.parquet(f"{path}/doclen"),
         spark.read.parquet(f"{path}/dfreq"),
         spark.read.parquet(f"{path}/stats"),
         cfg,
+        path,
     )

@@ -161,10 +161,17 @@ class Searcher:
         self._df_cache: dict[str, int] = {}
 
     def invalidate(self) -> None:
-        """Drop memoized corpus stats / term dfs (call after the backing
-        index path received an append)."""
+        """Drop memoized corpus stats / term dfs AND refresh Spark's
+        cached file listing for the backing path (a parquet DataFrame
+        pins the file index captured at read time — without the refresh,
+        re-collected stats/df would still read the pre-append files, and
+        actions after an overwrite's directory swap would fail on deleted
+        files). The refresh needs tables.path (set by read_index); for
+        ad-hoc IndexTables objects, open a fresh one via read_index."""
         self._stats = None
         self._df_cache.clear()
+        if self.tables.path is not None:
+            self.tables.stats.sparkSession.catalog.refreshByPath(self.tables.path)
 
     def stats(self) -> tuple[int, float]:
         # the stats table may hold one row per appended segment; combine
@@ -252,12 +259,22 @@ def searcher_for(tables: IndexTables) -> Searcher:
     return hit[1]
 
 
-def invalidate_searchers() -> None:
-    """Drop all memoized stats/dfs — called by append paths so a Searcher
-    over a tables object whose backing path just grew re-reads N/avgdl/df
-    on its next query."""
+def invalidate_searchers(path: str | None = None) -> None:
+    """Drop all memoized stats/dfs — called by the mutators
+    (append_to_index / overwrite_docs) so a Searcher over a tables object
+    whose backing path just changed re-reads N/avgdl/df on its next
+    query. Each Searcher whose tables carry a path also refreshes Spark's
+    cached file listing; ``path`` additionally refreshes the mutated
+    directory itself, covering IndexTables objects that never went
+    through searcher_for."""
     for _, s in _SEARCHERS.values():
         s.invalidate()
+    if path is not None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark.catalog.refreshByPath(path)
 
 
 def topk(

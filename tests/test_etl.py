@@ -156,3 +156,66 @@ def test_schema_copyfields_and_ddl(spark):
     row = spark.sql("SELECT main_search, license_facet FROM t_schema_view").collect()[0]
     assert row["main_search"] == "Ada math x1"
     assert row["license_facet"] == "cc-by"
+
+
+def test_inherit_root_from_unfiltered_items(spark, items, edges):
+    """ADVICE r2: the canonical inherit is Person.license inheriting from
+    the root Dataset — the root is NOT of the dispatched type, so the
+    root lookup must go against the unfiltered items frame, not the
+    type-filtered slice (where it silently became a no-op)."""
+    from oni_indexer_spark.etl.config import compile_type_pipeline
+
+    out = compile_type_pipeline(
+        items, edges, "Person", {"license": {"inherit": True}}, root_id=ROOT_ID
+    )
+    got = {r["id"]: r["value"] for r in out.where(F.col("field") == "license").collect()}
+    root_license = items.where(F.col("id") == ROOT_ID).collect()[0]["license"]
+    persons = [r["id"] for r in items.collect() if "Person" in r["types"]]
+    assert persons and all(got[p] == root_license for p in persons)
+    # direct op call: explicit root_source
+    base = items.where(F.array_contains("types", "Person"))
+    inh = ops.inherit(base, "license", ROOT_ID, root_source=items)
+    assert all(r["license"] == root_license for r in inh.collect())
+
+
+def test_fixpoint_dangling_intermediate_matches_oracle(spark):
+    """ADVICE r2: a non-item id with outgoing edges must NOT be traversed
+    through (nor indexed), and a non-item seed is dropped — engine and
+    recursive-CTE oracle agree on such graphs."""
+    import duckdb
+
+    from oni_indexer_spark.etl.oracle import resolve_fixpoint_sql, sql_cte  # noqa: F401
+
+    items = spark.createDataFrame(
+        [("a", ["Dataset"], "A"), ("c", ["Person"], "C"), ("e", ["Person"], "E")],
+        "id string, types array<string>, name string",
+    )
+    # a -> dangling -> c : c is unreachable (dangling not traversed through)
+    # a -> e             : e reachable at depth 1
+    edges = spark.createDataFrame(
+        [
+            ("a", "link", "dangling"),
+            ("dangling", "link", "c"),
+            ("a", "link", "e"),
+        ],
+        "src string, property string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("ghost_seed",)], "id string")
+    got = {
+        (r["id"], r["depth"])
+        for r in ops.resolve_fixpoint(items, edges, seeds).collect()
+    }
+    assert got == {("a", 0), ("e", 1)}
+    # oracle twin over the same graph, inlined as VALUES
+    sql = """WITH RECURSIVE items(id) AS (VALUES ('a'), ('c'), ('e')),
+edges(src, dst) AS (VALUES ('a','dangling'), ('dangling','c'), ('a','e')),
+reach(id, depth) AS (
+  SELECT id, 0 FROM items WHERE id = 'a'
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.id JOIN items i2 ON i2.id = e.dst
+  WHERE r.depth < 20
+)
+SELECT r.id, min(r.depth)::int AS depth FROM reach r GROUP BY r.id"""
+    oracle_got = {(r[0], r[1]) for r in duckdb.sql(sql).fetchall()}
+    assert oracle_got == {("a", 0), ("e", 1)} == got

@@ -95,3 +95,89 @@ def test_overwrite_idempotent_on_replay(spark, paths):
     overwrite_docs(changed, p)  # same batch: lineage row says done -> no-op
     disk = read_index(spark, p)
     assert disk.stats.agg(F.sum("n_docs")).collect()[0][0] == 256
+
+
+def test_crash_after_stage_self_heals(spark):
+    """Crash-injection: overwrite dies right after the swap manifest is
+    written (nothing swapped yet). read_index replays the pending swap
+    and the index answers exactly like a fresh build over the updated
+    corpus — no restore from source needed."""
+    import json
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="ovr_crash_")
+    p = f"{base}/idx"
+    build_to_path(_corpus(spark), p, CFG, bucket_group_size=4)
+    changed = _corpus(spark, marker="crash_mark").where(F.col("doc_id") % 200 == 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        overwrite_docs(changed, p, _fault_after_stage=True)
+    man = f"{p}/_pending_swap.json"
+    assert os.path.exists(man)
+    with open(man) as fh:
+        m = json.load(fh)
+    assert m["moves"]  # staged dirs were recorded before any mutation
+    disk = read_index(spark, p)  # replays the swap
+    assert not os.path.exists(man)
+    assert not os.path.exists(f"{p}/postings.next")
+    fresh = build_index(_corpus(spark, marker="crash_mark"), CFG)
+    for q in ["crash_mark", "alpha", "tok_100"]:
+        assert _rows(topk(disk, q, k=10)) == _rows(topk(fresh, q, k=10)), q
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_crash_mid_swap_replay_idempotent(spark):
+    """Crash-injection mid-swap: some manifest steps already applied
+    (a target dir deleted, one staged dir already renamed). Replaying the
+    manifest must not delete swapped-in data or double-apply anything."""
+    import json
+    import shutil
+
+    from oni_indexer_spark.index.build import _apply_swap
+
+    base = tempfile.mkdtemp(prefix="ovr_crash2_")
+    p = f"{base}/idx"
+    build_to_path(_corpus(spark), p, CFG, bucket_group_size=4)
+    changed = _corpus(spark, marker="crash_mark2").where(F.col("doc_id") % 200 == 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        overwrite_docs(changed, p, _fault_after_stage=True)
+    with open(f"{p}/_pending_swap.json") as fh:
+        m = json.load(fh)
+    # simulate a partially-applied swap: first delete done, first move done
+    if m["deletes"]:
+        shutil.rmtree(os.path.join(p, m["deletes"][0]), ignore_errors=True)
+    staged_rel, live_rel = m["moves"][0]
+    shutil.rmtree(os.path.join(p, live_rel), ignore_errors=True)
+    os.rename(os.path.join(p, staged_rel), os.path.join(p, live_rel))
+    _apply_swap(p)  # replay the whole manifest
+    disk = read_index(spark, p)
+    fresh = build_index(_corpus(spark, marker="crash_mark2"), CFG)
+    for q in ["crash_mark2", "gamma crash_mark2", "alpha"]:
+        assert _rows(topk(disk, q, k=10)) == _rows(topk(fresh, q, k=10)), q
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_mutators_reject_old_format(spark):
+    """ADVICE r2: append/overwrite into a v1/v2-format index must fail
+    loudly instead of writing v3-layout files into an old layout."""
+    import json
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="ovr_fmt_")
+    p = f"{base}/idx"
+    build_to_path(_corpus(spark), p, CFG, bucket_group_size=4)
+    meta_path = f"{p}/_lineage/meta.json"
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["format"] = 2
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    extra = _corpus(spark).where(F.col("doc_id") < 2).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    from oni_indexer_spark.index import append_to_index
+
+    with pytest.raises(ValueError, match="on-disk format v2"):
+        append_to_index(extra, p)
+    with pytest.raises(ValueError, match="on-disk format v2"):
+        overwrite_docs(_corpus(spark).where(F.col("doc_id") == 0), p)
+    shutil.rmtree(base, ignore_errors=True)

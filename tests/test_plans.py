@@ -57,3 +57,39 @@ def test_facet_plan_partial_agg(spark, docs):
 
     plan = _plan(facet_counts(docs, "lang"))
     assert "partial_count" in plan or plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_doclen_plan_has_no_second_tokenize(spark, docs):
+    """Single-tokenize build: doclen derives dl from the staged tf table,
+    so its plan must contain NO regex tokenizer — only the sha256/meta
+    content scan plus the O(n_docs) dl join."""
+    from oni_indexer_spark.index.build import _doclen_from_tf, _tf_table
+
+    d = docs.select("doc_id", "repo", "path", "lang", "content")
+    tf = _tf_table(d, CFG)
+    plan = _plan(_doclen_from_tf(d, tf, CFG))
+    # in the real build, tf is materialized (parquet stage / persist); in
+    # this lazy plan the tokenizer still shows inside the tf SUBTREE (the
+    # join's build side), but doclen's own branch — the ':'-prefixed
+    # stream side of the join — must not re-run it
+    doclen_branch = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":")]
+    assert doclen_branch, plan
+    assert not any("regexp_extract_all" in ln for ln in doclen_branch), plan
+    assert any("sha2" in ln for ln in doclen_branch)
+
+
+def test_resolve_via_no_unconditional_broadcast(spark):
+    """AQE (not a hard-coded hint) picks the join strategy for the
+    items-derived display lookup — an unconditional broadcast would OOM
+    when items is corpus-sized (r2 VERDICT 'what's wrong' #1)."""
+    from oni_indexer_spark.etl import fixture, ops
+
+    items = fixture.spark_items(spark)
+    edges = fixture.spark_edges(spark)
+    out = ops.resolve_via(items, edges, ["conviction", "location"], "loc", broadcast=False)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan or "broadcast" not in plan.lower().split("resolvedhint")[1][:80]
+    # and the forced-broadcast escape hatch still exists for tiny dims
+    out_b = ops.resolve_via(items, edges, ["conviction"], "loc", broadcast=True)
+    plan_b = out_b._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_b.lower()
