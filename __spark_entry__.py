@@ -581,6 +581,65 @@ def _q_etl_match_multi(spark, sf_dir):
     )
 
 
+def _q_etl_reverse_via(spark, sf_dir):
+    # nested cf['@reverse'] block composing reverse + via (the criminals
+    # reverseSentence chain shape, test-data/criminals/indexer.json:73-83)
+    from oni_indexer_spark.etl import fixture
+    from oni_indexer_spark.etl.config import compile_type_pipeline
+
+    cf = {
+        "@reverse": {
+            "author": {
+                "index_as": "reverseWorksAbout",
+                "resolve": {"via": [{"property": "about"}], "display": "name"},
+            }
+        }
+    }
+    return compile_type_pipeline(
+        fixture.spark_items(spark), fixture.spark_edges(spark), "Person", cf
+    )
+
+
+def _q_etl_facet_multi(spark, sf_dir):
+    # A8 facetFieldName data path: per-type facet columns named via the
+    # dynamic-field suffix registry ({Type}_{field}_{facet|facetmulti})
+    from oni_indexer_spark.etl import fixture
+    from oni_indexer_spark.etl.config import facet_fields
+
+    cf = {
+        "keywords": {"multi": True, "facet": {"tokenize": {"delim": ","}}},
+        "author": {"resolve": "multi", "facet": True},
+    }
+    return facet_fields(
+        fixture.spark_items(spark), fixture.spark_edges(spark), "Dataset", cf
+    )
+
+
+def _q_schema_dynamic_fields(spark, sf_dir):
+    # A8 schema generation: the derived field/dynamicfield/copyfield rows
+    # (reference buildSchema+updateSchema, golden schema.json shape)
+    from oni_indexer_spark.etl.config import schema_from_config
+
+    schema = schema_from_config(
+        {"main_search": ["name", "description", "id"]}
+    )
+    rows = []
+    for f in schema["field"]:
+        rows.append(
+            ("field", f["name"], f["type"], bool(f.get("multiValued", False)), None, None)
+        )
+    for f in schema["dynamicfield"]:
+        rows.append(
+            ("dynamicfield", f["name"], f["type"], bool(f.get("multiValued", False)), None, None)
+        )
+    for c in schema["copyfield"]:
+        rows.append(("copyfield", None, None, False, c["source"], c["dest"][0]))
+    return spark.createDataFrame(
+        rows,
+        "kind string, name string, type string, multi boolean, source string, dest string",
+    )
+
+
 def _q_etl_type_dispatch(spark, sf_dir):
     from oni_indexer_spark.etl import fixture, ops
 
@@ -599,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry_contract.py.
     return {
         "bm25_or_topk": _q_bm25("hash join", k=10),
+        "etl_reverse_via": _q_etl_reverse_via,
+        "etl_facet_multi": _q_etl_facet_multi,
+        "schema_dynamic_fields": _q_schema_dynamic_fields,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "sim_ann_lsh": _q_ann_lsh,
         "sim_ann_indexed": _q_ann_indexed,
@@ -625,7 +687,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
         "text_subword_count": _q_subword,
-        "dedup_minhash_sig": _q_minhash,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_jaccard,
         "sim_cosine_topk": _q_cosine_topk,
@@ -635,10 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_reverse_location": _q_etl_reverse,
         "etl_inherit_license": _q_etl_inherit,
         "etl_license_map": _q_etl_license_map,
-        "etl_validate_date": _q_etl_validate_date,
         "etl_facet_tokenize": _q_etl_facet_tokenize,
         "etl_year_published": _q_etl_year,
-        "etl_map_all": _q_etl_map_all,
         "etl_type_dispatch": _q_etl_type_dispatch,
         "etl_uri_id": _q_etl_uri_id,
         "etl_resolve_single": _q_etl_resolve_single,
@@ -651,12 +710,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_resolve_json_facet": _q_etl_resolve_json,
         "etl_geofilt": _q_etl_geofilt,
         "etl_subgraph": _q_etl_subgraph,
-        # ---- tail: parameter variants of operators already verified above
+        # ---- tail: parameter variants / components of operators already
+        # verified by a green row above (minhash signatures are exercised
+        # inside dedup_minhash_lsh; map_all + validate:date run inside
+        # etl_config_pipeline) — all stay DuckDB-oracled in pytest
         "bm25_three_term": _q_bm25("window merge sort", k=10),
         "bm25_zero_result": _q_bm25("zzz_not_in_corpus", k=10),
         "bm25_k100": _q_bm25("the scan", k=100),
         "facet_repo": _q_facet_repo,
         "etl_via_includes": _q_etl_via_includes,
+        "dedup_minhash_sig": _q_minhash,
+        "etl_map_all": _q_etl_map_all,
+        "etl_validate_date": _q_etl_validate_date,
     }
 
 
@@ -735,6 +800,9 @@ def oracle_sql() -> dict[str, str]:
         "etl_geofilt": _etl_oracle.geofilt_sql(-37.8, 145.0, 500),
         "etl_via_includes": _etl_oracle.resolve_via_includes_sql(),
         "etl_subgraph": _etl_oracle.resolve_subgraph_sql(),
+        "etl_reverse_via": _etl_oracle.reverse_via_sql(),
+        "etl_facet_multi": _etl_oracle.facet_multi_sql(),
+        "schema_dynamic_fields": _etl_oracle.schema_dynamic_fields_sql(),
         "dedup_minhash_lsh": _ops_dedup.minhash_lsh_pairs_sql(
             n_hashes=12, bands=4, threshold=0.3
         ),

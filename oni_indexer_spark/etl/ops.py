@@ -181,7 +181,11 @@ def resolve_via(
     ``via`` entries are property names or dicts with the reference's hop
     options (``doc/Solr_config.md:280-291``): ``{"property": p,
     "includes": spec}`` only follows hop targets matching the B3/B4
-    filter spec. ``store_subgraph=True`` (the reference's experimental
+    filter spec; ``{"property": p, "reverse": True}`` follows the hop
+    AGAINST edge direction (the first hop of a ``cf['@reverse']`` block,
+    ``lib/ROCrateIndexer.js:359-367`` + the criminals config's
+    reverseSentence chain, ``test-data/criminals/indexer.json:73-83``).
+    ``store_subgraph=True`` (the reference's experimental
     context-indexing option, ``doc/Solr_config.md:276-278``) emits EVERY
     item passed through, with a ``hop`` column, instead of terminals
     only; output is then (id, {index_as}, {index_as}_id, hop).
@@ -195,8 +199,9 @@ def resolve_via(
     prev = "src0"
     hop_cols: list[str] = []
     for i, hop in enumerate(norm):
+        src_col, dst_col = ("dst", "src") if hop.get("reverse") else ("src", "dst")
         e = edges.where(F.col("property") == hop["property"]).select(
-            F.col("src").alias(f"_s{i}"), F.col("dst").alias(f"_d{i}")
+            F.col(src_col).alias(f"_s{i}"), F.col(dst_col).alias(f"_d{i}")
         )
         cur = cur.join(e, F.col(prev) == F.col(f"_s{i}"))
         if "includes" in hop:

@@ -332,3 +332,73 @@ JOIN edges e1 ON i.id = e1.src AND e1.property = 'conviction'
 JOIN edges e2 ON e1.dst = e2.src AND e2.property = 'location'
 JOIN items t ON e2.dst = t.id
 """.strip()
+
+
+def reverse_via_sql() -> str:
+    # nested cf['@reverse'] block (criminals reverseSentence shape,
+    # test-data/criminals/indexer.json:73-83): reverse hop 'author'
+    # (datasets that reference the person) then forward 'about' — long
+    # (id, field, value) rows like the pipeline compiler emits.
+    return f"""{sql_cte()}
+SELECT p.id AS id, 'reverseWorksAbout' AS field, t.name AS value
+FROM items p
+JOIN edges e1 ON e1.dst = p.id AND e1.property = 'author'
+JOIN edges e2 ON e2.src = e1.src AND e2.property = 'about'
+JOIN items t ON t.id = e2.dst
+WHERE list_contains(p.types, 'Person')
+""".strip()
+
+
+def facet_multi_sql() -> str:
+    # A8 facetFieldName data path: Dataset keywords tokenized under
+    # Dataset_keywords_facetmulti; Dataset author resolved names under
+    # Dataset_author_facetmulti (facet default = resolved values,
+    # lib/ROCrateIndexer.js:732-764).
+    return f"""{sql_cte()},
+kw AS (
+  SELECT id, 'Dataset_keywords_facetmulti' AS facet_field,
+         trim(u.tok) AS value
+  FROM items, unnest(string_split(keywords, ',')) AS u(tok)
+  WHERE list_contains(types, 'Dataset') AND keywords IS NOT NULL
+        AND trim(u.tok) <> ''
+),
+au AS (
+  SELECT i.id AS id, 'Dataset_author_facetmulti' AS facet_field,
+         t.name AS value
+  FROM items i
+  JOIN edges e ON i.id = e.src AND e.property = 'author'
+  JOIN items t ON e.dst = t.id
+  WHERE list_contains(i.types, 'Dataset')
+)
+SELECT * FROM kw UNION ALL SELECT * FROM au
+""".strip()
+
+
+def schema_dynamic_fields_sql() -> str:
+    # A8 schema generation: the golden field/dynamicfield/copyfield rows
+    # the reference's buildSchema+updateSchema would post to Solr's
+    # schema API (oni-indexer.js:270-348), pinned to schema.json's shape.
+    rows = []
+    for name, typ in [
+        ("name", "text_general"), ("type", "string"), ("description", "text_en"),
+    ]:
+        rows.append(f"('field', '{name}', '{typ}', false, NULL, NULL)")
+    for name, typ in [("main_search", "text_en"), ("yearPublished", "text_en")]:
+        rows.append(f"('field', '{name}', '{typ}', true, NULL, NULL)")
+    for pat, typ, multi in [
+        ("*_name", "text_en", False), ("*_id", "text_en", True),
+        ("*_description", "text_en", False), ("*_date", "text_en", False),
+        ("*_datePublished", "text_en", False), ("*_dateCreated", "text_en", False),
+        ("*_birthDate", "text_en", False), ("*_facetmulti", "string", True),
+        ("*_facet", "string", False),
+    ]:
+        rows.append(
+            f"('dynamicfield', '{pat}', '{typ}', {'true' if multi else 'false'}, NULL, NULL)"
+        )
+    for src in ["name", "description", "id"]:
+        rows.append(f"('copyfield', NULL, NULL, false, '{src}', 'main_search')")
+    rows.append("('copyfield', NULL, NULL, false, '*_datePublished', 'yearPublished')")
+    vals = ",\n  ".join(rows)
+    return (
+        "SELECT * FROM (VALUES\n  " + vals + "\n) AS t(kind, name, type, multi, source, dest)"
+    )

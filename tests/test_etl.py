@@ -219,3 +219,61 @@ reach(id, depth) AS (
 SELECT r.id, min(r.depth)::int AS depth FROM reach r GROUP BY r.id"""
     oracle_got = {(r[0], r[1]) for r in duckdb.sql(sql).fetchall()}
     assert oracle_got == {("a", 0), ("e", 1)} == got
+
+
+def test_dynamic_field_registry():
+    """A8: suffix-pattern typing mirrors the reference schema.json
+    dynamicfield block; longest matching pattern wins (Solr's rule)."""
+    from oni_indexer_spark.etl.config import dynamic_field_def, facet_field_name
+
+    assert dynamic_field_def("author_id") == {"type": "text_en", "multiValued": True}
+    assert dynamic_field_def("Dataset_keywords_facetmulti") == {
+        "type": "string", "multiValued": True,
+    }
+    assert dynamic_field_def("Person_role_facet") == {
+        "type": "string", "multiValued": False,
+    }
+    # *_datePublished (longer) beats nothing else; *_date does NOT match it
+    assert dynamic_field_def("x_datePublished")["type"] == "text_en"
+    assert dynamic_field_def("no_pattern_matches_this") is None
+    # facetFieldName arity: multi / resolve-multi -> facetmulti
+    assert facet_field_name("Dataset", "keywords", {"multi": True}) == "Dataset_keywords_facetmulti"
+    assert facet_field_name("Dataset", "author", {"resolve": "multi"}) == "Dataset_author_facetmulti"
+    assert facet_field_name("Person", "role", {}) == "Person_role_facet"
+    assert facet_field_name("Person", "affil", {"index_as": "org"}) == "Person_org_facet"
+
+
+def test_schema_from_config_shape():
+    """A8: derived schema carries the reference's static fields, the full
+    dynamic-field registry, per-source main_search copyfields and the
+    *_datePublished -> yearPublished 4-char copy."""
+    from oni_indexer_spark.etl.config import schema_from_config
+
+    s = schema_from_config(
+        {"main_search": ["name", "description"]},
+        types_cf={"Dataset": {"keywords": {"multi": True, "facet": True}}},
+    )
+    assert {f["name"] for f in s["field"]} >= {"main_search", "yearPublished"}
+    assert {d["name"] for d in s["dynamicfield"]} >= {"*_facetmulti", "*_id"}
+    assert {"source": "name", "dest": ["main_search"]} in s["copyfield"]
+    assert {"source": "*_datePublished", "maxChars": 4, "dest": ["yearPublished"]} in s["copyfield"]
+    assert s["derived"] == [
+        {"name": "Dataset_keywords_facetmulti", "type": "string", "multiValued": True}
+    ]
+
+
+def test_resolve_via_reverse_hop(spark, items, edges):
+    """A via chain whose first hop runs against edge direction: person
+    <-author- dataset -about-> term (the criminals reverseSentence
+    shape)."""
+    out = ops.resolve_via(
+        items, edges,
+        [{"property": "author", "reverse": True}, "about"],
+        "rwa",
+    )
+    got = {(r["id"], r["rwa"]) for r in out.collect()}
+    # p1/p2 author d1 (4 about targets); p3 authors d2 (2 targets)
+    assert ("p1", "Artificial Intelligence") in got
+    assert ("p2", "Expanding Knowledge") in got
+    assert ("p3", "Information Systems") in got
+    assert len([1 for i, _ in got if i == "p3"]) == 2
