@@ -69,10 +69,11 @@ from oni_indexer_spark.index import lineage as L
 
 
 # On-disk layout version: bump when the postings/dfreq schema changes so
-# long-lived index paths are never read with mismatched code (v3 = seg
-# partition level for in-place overwrite; v2 = tid-keyed postings; v1
-# carried term strings).
-INDEX_FORMAT_VERSION = 3
+# long-lived index paths are never read with mismatched code (v4 = SoA
+# varint blobs with block-relative doc/dl bases; v3 = seg partition
+# level for in-place overwrite; v2 = tid-keyed postings; v1 carried term
+# strings).
+INDEX_FORMAT_VERSION = 4
 
 
 @dataclass(frozen=True)
@@ -244,15 +245,21 @@ def _make_sorted_encoder(block_size: int):
             dls = b.column(idx["dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
             ends = np.append(starts[1:], len(b))
             counts = ends - starts
-            blobs = encode_postings_flat(docs, tfs, dls, counts)
+            block_ids = docs[starts] // block_size
+            min_dls = np.minimum.reduceat(dls, starts)
+            # v4: doc gaps relative to the block's doc-range start, dls
+            # relative to block_min_dl — both already carried by the row
+            blobs = encode_postings_flat(
+                docs, tfs, dls, counts, block_ids * block_size, min_dls
+            )
             take = pa.array(starts)
             return pa.RecordBatch.from_arrays(
                 [
                     b.column(idx["tid"]).take(take),
-                    pa.array(docs[starts] // block_size, type=pa.int64()),
+                    pa.array(block_ids, type=pa.int64()),
                     pa.array(counts.astype(np.int32), type=pa.int32()),
                     pa.array(np.maximum.reduceat(tfs, starts).astype(np.int32), type=pa.int32()),
-                    pa.array(np.minimum.reduceat(dls, starts).astype(np.int32), type=pa.int32()),
+                    pa.array(min_dls.astype(np.int32), type=pa.int32()),
                     pa.array(blobs, type=pa.binary()),
                 ],
                 names=["tid", "block_id", "n", "block_max_tf", "block_min_dl", "blob"],
@@ -420,10 +427,23 @@ def build_to_path(
         docs = docs.repartition(min(target, 2 * cfg.n_buckets))
 
     if stage_mode == "auto":
-        # decide from a metadata-cheap count (parquet footer counts — no
-        # content scan); the tokenize pass hasn't run yet, since tf
-        # staging now precedes doclen so content is tokenized exactly once
-        stage_mode = "disk" if docs.count() >= 200_000 else "cache"
+        # decide with ZERO Spark jobs when the source is file-backed
+        # (driver-side stat of the input files — a perf knob only, so a
+        # coarse size threshold is fine); fall back to a metadata-cheap
+        # parquet count for synthetic/in-memory frames
+        size = None
+        try:
+            files = docs.inputFiles()
+            if files:
+                size = sum(
+                    os.path.getsize(f.removeprefix("file:")) for f in files
+                )
+        except Exception:
+            size = None
+        if size is not None:
+            stage_mode = "disk" if size >= 64 * 1024 * 1024 else "cache"
+        else:
+            stage_mode = "disk" if docs.count() >= 200_000 else "cache"
 
     # The tf table is MATERIALIZED exactly once and it is the ONLY
     # tokenize pass of the build: postings, dfreq AND doclen's dl all
@@ -469,9 +489,17 @@ def build_to_path(
         # parquet min/max stats on doc_id still prune id lookups. (Also:
         # an observe BELOW repartitionByRange double-counts — the sampling
         # pass re-executes the child plan; caught by the parity test.)
-        # dl derives from the staged tf table — the content scan here
-        # computes only sha256 + metadata (no second tokenize).
-        doclen = _doclen_from_tf(docs, tf_staged, cfg).observe(
+        # disk mode (corpus scale): dl derives from the staged tf table —
+        # the content scan computes only sha256 + metadata, so the regex
+        # tokenize runs ONCE over 100 TB. cache mode (small corpora): the
+        # direct tokenize scan is cheaper than the O(n_docs) dl-aggregate
+        # shuffle + join the derivation costs (measured at 5k docs:
+        # job-scheduling overhead dominates, tokenize is sub-second).
+        if stage_mode == "disk":
+            doclen_src = _doclen_from_tf(docs, tf_staged, cfg)
+        else:
+            doclen_src = _doclen_table(docs, cfg)
+        doclen = doclen_src.observe(
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         )
         doclen.write.mode("overwrite").partitionBy("seg").parquet(f"{path}/doclen")

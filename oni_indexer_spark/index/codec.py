@@ -4,14 +4,27 @@ Python loops).
 The reference delegates the physical index layout to Lucene (segments,
 skip lists, block-max metadata — ``schema.json`` field types; SURVEY.md
 §2.C2). Here postings for one (term, doc-range block) row are encoded as
-a LEB128 varint stream of ``(doc_gap, tf, dl)`` triples:
+a LEB128 varint stream laid out stream-of-arrays (v4 format):
 
-- ``doc_gap``: first value is the absolute doc_id, subsequent values are
-  deltas (doc_ids are sorted within a block) — small gaps → 1-2 bytes.
+``[gap_0..gap_{n-1}][tf_0..tf_{n-1}][dl_0..dl_{n-1}]``
+
+- ``gap``: the FIRST value is the doc's offset from the caller-supplied
+  per-row base (the block's first possible doc_id, ``block_id *
+  block_size`` — so it fits 1 varint byte instead of encoding a full
+  absolute id); subsequent values are deltas (doc_ids sorted within a
+  block).
 - ``tf``: term frequency in the doc.
-- ``dl``: the doc's token length. Carrying dl inside the posting trades a
+- ``dl``: stored relative to the caller-supplied per-row base
+  (``block_min_dl``, which the postings row already carries for WAND) —
+  typically 1 byte instead of 2. Carrying dl inside the posting trades a
   byte or two per posting for eliminating the doclen join at query time —
   at 10^12-doc scale that join is a full shuffle we never pay.
+
+The SoA layout groups same-shaped small integers (hot-term gap streams
+are runs of 1s, tf streams runs of 1s), which parquet's zstd pages
+compress far better than interleaved triples — fewer bytes through the
+write, the scan and the decode, the binding resource in the measured
+DRAM-bandwidth-bound regime.
 
 Encode/decode are vectorized over the posting dimension: encode touches
 each of the ≤10 varint byte positions once (numpy fancy indexing), decode
@@ -79,27 +92,34 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
-    """Encode sorted (doc_id, tf, dl) posting arrays into one varint blob."""
-    doc_ids = np.asarray(doc_ids, dtype=np.int64)
-    gaps = np.empty_like(doc_ids)
-    if doc_ids.size:
-        gaps[0] = doc_ids[0]
-        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
-    triples = np.empty(doc_ids.size * 3, dtype=np.uint64)
-    triples[0::3] = gaps.astype(np.uint64)
-    triples[1::3] = np.asarray(tfs, dtype=np.uint64)
-    triples[2::3] = np.asarray(dls, dtype=np.uint64)
-    return varint_encode(triples)
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    base_doc: int = 0,
+    base_dl: int = 0,
+) -> bytes:
+    """Encode sorted (doc_id, tf, dl) posting arrays into one SoA varint
+    blob; values are stored relative to (base_doc, base_dl)."""
+    n = len(np.asarray(doc_ids))
+    return encode_postings_flat(
+        doc_ids, tfs, dls,
+        np.array([n], dtype=np.int64),
+        np.array([base_doc], dtype=np.int64),
+        np.array([base_dl], dtype=np.int64),
+    )[0]
 
 
-def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def decode_postings(
+    blob: bytes, base_doc: int = 0, base_dl: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Inverse of :func:`encode_postings` → (doc_ids, tfs, dls)."""
-    triples = varint_decode(blob)
-    gaps = triples[0::3].astype(np.int64)
-    tfs = triples[1::3].astype(np.int32)
-    dls = triples[2::3].astype(np.int32)
-    return np.cumsum(gaps), tfs, dls
+    doc_ids, tfs, dls, _ = decode_postings_flat(
+        [blob],
+        np.array([base_doc], dtype=np.int64),
+        np.array([base_dl], dtype=np.int64),
+    )
+    return doc_ids, tfs, dls
 
 
 # --- batch codec -----------------------------------------------------------
@@ -115,11 +135,20 @@ def encode_postings_flat(
     all_tfs: np.ndarray,
     all_dls: np.ndarray,
     counts: np.ndarray,
+    base_docs: np.ndarray | None = None,
+    base_dls: np.ndarray | None = None,
 ) -> list[bytes]:
     """Encode many rows' postings given FLAT value arrays + per-row
     counts (the natural shape of an Arrow ListArray: child values +
-    offsets — zero per-row work until the final byte slicing)."""
+    offsets — zero per-row work until the final byte slicing).
+
+    ``base_docs`` / ``base_dls`` (per ROW): each row's first doc gap is
+    stored as ``doc - base_docs[i]`` and every dl as ``dl -
+    base_dls[i]`` — callers pass the block's doc-range start and
+    block_min_dl so both fit in 1 varint byte. Omitted bases default to
+    0 (absolute encoding). Values must not go negative."""
     n_rows = len(counts)
+    counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
     if total == 0:
         return [b""] * n_rows
@@ -128,13 +157,24 @@ def encode_postings_flat(
     gaps = all_docs.copy()
     gaps[1:] -= all_docs[:-1]
     nz = counts > 0
-    gaps[starts[nz]] = all_docs[starts[nz]]  # first doc per row is absolute
-    triples = np.empty(total * 3, dtype=np.uint64)
-    triples[0::3] = gaps.astype(np.uint64)
-    triples[1::3] = np.asarray(all_tfs, dtype=np.uint64)
-    triples[2::3] = np.asarray(all_dls, dtype=np.uint64)
-    buf, nbytes = _varint_encode_arr(triples)
-    cum = np.zeros(triples.size + 1, dtype=np.int64)
+    first = all_docs[starts[nz]]
+    if base_docs is not None:
+        first = first - np.asarray(base_docs, dtype=np.int64)[nz]
+    gaps[starts[nz]] = first
+    dls_rel = np.asarray(all_dls, dtype=np.int64)
+    if base_dls is not None:
+        dls_rel = dls_rel - np.repeat(np.asarray(base_dls, dtype=np.int64), counts)
+    # SoA regions per row i: values [3s_i, 3s_i+n_i) gaps,
+    # [3s_i+n_i, 3s_i+2n_i) tfs, [3s_i+2n_i, 3s_i+3n_i) dls
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    reg = 3 * np.repeat(starts, counts)
+    n_rep = np.repeat(counts, counts)
+    vals = np.empty(total * 3, dtype=np.uint64)
+    vals[reg + within] = gaps.astype(np.uint64)
+    vals[reg + n_rep + within] = np.asarray(all_tfs, dtype=np.uint64)
+    vals[reg + 2 * n_rep + within] = dls_rel.astype(np.uint64)
+    buf, nbytes = _varint_encode_arr(vals)
+    cum = np.zeros(vals.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=cum[1:])
     vstart = starts * 3
     vend = (starts + counts) * 3
@@ -143,7 +183,11 @@ def encode_postings_flat(
 
 
 def encode_postings_batch(
-    docs_list: list, tfs_list: list, dls_list: list
+    docs_list: list,
+    tfs_list: list,
+    dls_list: list,
+    base_docs: np.ndarray | None = None,
+    base_dls: np.ndarray | None = None,
 ) -> list[bytes]:
     """Vectorized multi-row :func:`encode_postings` → list of blobs."""
     n_rows = len(docs_list)
@@ -151,15 +195,20 @@ def encode_postings_batch(
     if int(counts.sum()) == 0:
         return [b""] * n_rows
     cat = lambda xs: np.concatenate([np.asarray(x, dtype=np.int64) for x in xs])  # noqa: E731
-    return encode_postings_flat(cat(docs_list), cat(tfs_list), cat(dls_list), counts)
+    return encode_postings_flat(
+        cat(docs_list), cat(tfs_list), cat(dls_list), counts, base_docs, base_dls
+    )
 
 
 def decode_postings_flat(
     blobs: list,
+    base_docs: np.ndarray | None = None,
+    base_dls: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode many blobs → FLAT (doc_ids, tfs, dls, per-blob counts).
     One vectorized pass; the flat shape feeds an Arrow ListArray or an
-    exploded RecordBatch without any per-row work."""
+    exploded RecordBatch without any per-row work. ``base_docs`` /
+    ``base_dls`` must match what the rows were encoded with."""
     n_rows = len(blobs)
     raw = [bytes(b) if b is not None else b"" for b in blobs]
     lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=n_rows)
@@ -168,13 +217,17 @@ def decode_postings_flat(
     bstarts = np.cumsum(lens) - lens
     first_val = np.searchsorted(ends, bstarts)
     val_counts = np.diff(np.append(first_val, len(ends)))
-    gaps = vals[0::3].astype(np.int64)
-    tfs = vals[1::3].astype(np.int32)
-    dls = vals[2::3].astype(np.int32)
-    # each blob holds 3k values, so the global ::3 stride stays aligned
     pcounts = (val_counts // 3).astype(np.int64)
+    total = int(pcounts.sum())
     pstarts = np.cumsum(pcounts) - pcounts
-    # segmented cumsum: doc ids restart at each blob's absolute first doc
+    # SoA extraction: per-blob regions [first_val, first_val + 3n)
+    within = np.arange(total, dtype=np.int64) - np.repeat(pstarts, pcounts)
+    reg = np.repeat(first_val, pcounts)
+    n_rep = np.repeat(pcounts, pcounts)
+    gaps = vals[reg + within].astype(np.int64)
+    tfs = vals[reg + n_rep + within].astype(np.int32)
+    dls = vals[reg + 2 * n_rep + within].astype(np.int64)
+    # segmented cumsum: doc ids restart at each blob's (relative) first doc
     cs = np.cumsum(gaps)
     corr = np.zeros(n_rows, dtype=np.int64)
     nz = pcounts > 0
@@ -182,15 +235,21 @@ def decode_postings_flat(
     corr[nz] = np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
     corr[nz] = np.where(pstarts[nz] > 0, corr[nz], 0)
     doc_ids = cs - np.repeat(corr, pcounts)
-    return doc_ids, tfs, dls, pcounts
+    if base_docs is not None:
+        doc_ids = doc_ids + np.repeat(np.asarray(base_docs, dtype=np.int64), pcounts)
+    if base_dls is not None:
+        dls = dls + np.repeat(np.asarray(base_dls, dtype=np.int64), pcounts)
+    return doc_ids, tfs.astype(np.int32), dls.astype(np.int32), pcounts
 
 
 def decode_postings_batch(
     blobs: list,
+    base_docs: np.ndarray | None = None,
+    base_dls: np.ndarray | None = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """Vectorized multi-row :func:`decode_postings` →
     (doc_id arrays, tf arrays, dl arrays), one entry per input blob."""
-    doc_ids, tfs, dls, pcounts = decode_postings_flat(blobs)
+    doc_ids, tfs, dls, pcounts = decode_postings_flat(blobs, base_docs, base_dls)
     pstarts = np.cumsum(pcounts) - pcounts
     split_at = pstarts[1:]
     return (

@@ -39,36 +39,49 @@ def tfn_expr(tf: Column, dl: Column, avgdl: float, k1: float, b: float) -> Colum
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
 
 
-def _decode_map_arrow(batches):
-    """mapInArrow decoder: one vectorized numpy pass per Arrow batch,
-    emitting already-EXPLODED (tid, doc_id, tf, dl) rows — no pandas
-    conversion, no JVM-side arrays_zip/explode."""
-    import numpy as np
-    import pyarrow as pa
+def _make_decode_map_arrow(block_size: int):
+    """mapInArrow decoder factory: one vectorized numpy pass per Arrow
+    batch, emitting already-EXPLODED (tid, doc_id, tf, dl) rows — no
+    pandas conversion, no JVM-side arrays_zip/explode. v4 blobs store
+    doc/dl relative to (block_id * block_size, block_min_dl); both base
+    columns ride in the row (2 small ints per BLOCK, repaid many times
+    over by the shorter varints per POSTING)."""
 
-    from oni_indexer_spark.index.codec import decode_postings_flat
+    def _decode(batches):
+        import numpy as np
+        import pyarrow as pa
 
-    for b in batches:
-        idx = {n: i for i, n in enumerate(b.schema.names)}
-        blobs = b.column(idx["blob"]).to_pylist()
-        doc_ids, tfs, dls, counts = decode_postings_flat(blobs)
-        tid_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), counts)
-        yield pa.RecordBatch.from_arrays(
-            [
-                b.column(idx["tid"]).take(pa.array(tid_idx)),
-                pa.array(doc_ids, type=pa.int64()),
-                pa.array(tfs, type=pa.int32()),
-                pa.array(dls, type=pa.int32()),
-            ],
-            names=["tid", "doc_id", "tf", "dl"],
-        )
+        from oni_indexer_spark.index.codec import decode_postings_flat
+
+        for b in batches:
+            idx = {n: i for i, n in enumerate(b.schema.names)}
+            blobs = b.column(idx["blob"]).to_pylist()
+            base_docs = (
+                b.column(idx["block_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+                * block_size
+            )
+            base_dls = b.column(idx["block_min_dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_ids, tfs, dls, counts = decode_postings_flat(blobs, base_docs, base_dls)
+            tid_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), counts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(idx["tid"]).take(pa.array(tid_idx)),
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(tfs, type=pa.int32()),
+                    pa.array(dls, type=pa.int32()),
+                ],
+                names=["tid", "doc_id", "tf", "dl"],
+            )
+
+    return _decode
 
 
 def _decoded(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
     """(tid, doc_id, tf, dl) rows from (possibly compressed) block rows."""
     if cfg.compress:
-        return postings.select("tid", "blob").mapInArrow(
-            _decode_map_arrow, "tid long, doc_id long, tf int, dl int"
+        return postings.select("tid", "block_id", "block_min_dl", "blob").mapInArrow(
+            _make_decode_map_arrow(cfg.block_size),
+            "tid long, doc_id long, tf int, dl int",
         )
     return postings.select("tid", F.explode("plist").alias("p")).select(
         "tid", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl")

@@ -197,12 +197,15 @@ per-stage event-log audits (scripts/diag_events.py) show all task
 threads busy with total stage CPU inflating +67%, the signature of DRAM
 contention.
 
-Round-2 build changes behind the numbers: postings rows carry
+Build design behind the numbers (rounds 2-3): postings rows carry
 tid = xxhash64(term) instead of the term string through shuffle + sort +
 Arrow (fixed 8-byte radix-sortable key; strings live only in dfreq, with
-a build-time injectivity check), block_id/bucket derived rather than
-shipped, and the tf table is staged once so dfreq never re-tokenizes.
-Postings stage at 1M docs: 118s→81s (local[4]), 54s→41s (local[16]).
+a build-time injectivity check); block_id/bucket derived rather than
+shipped; the tf table is staged once and postings, dfreq AND doclen's dl
+all derive from it, so the regex tokenize scan over content runs exactly
+once per build; and v4 posting blobs are SoA varint streams with
+block-relative doc/dl bases (~9% fewer compressed bytes through write +
+scan + decode than the interleaved-triple layout).
 
 Reproduce: `python scaling_bench.py --docs {n_docs} --n {n} --repeats {repeats} --update-md`
 """

@@ -36,7 +36,10 @@ def test_query_plan_shape(disk_index):
     plan = _plan(topk(disk_index, "hash join", k=10, prune=False))
     assert "PartitionFilters: [bucket" in plan
     assert "PushedFilters: [In(tid" in plan
-    assert "ReadSchema: struct<tid:bigint,blob:binary>" in plan
+    # v4 blobs store doc/dl relative to per-block bases, so the scan
+    # also reads the two small base ints (block_id, block_min_dl) —
+    # still no doclen/dfreq columns, no metadata beyond the bases
+    assert "ReadSchema: struct<tid:bigint,block_id:bigint,block_min_dl:int,blob:binary>" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange") == 1  # only the doc_id score aggregation
