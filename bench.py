@@ -111,23 +111,43 @@ def main() -> None:
         lat = sorted(qtimes.values())
         p95 = lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)]
         total = round(build_sec + sum(qtimes.values()), 3)
-        print(
-            json.dumps(
-                {
-                    "metric": "index_build_plus_queryset_sec",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": qtimes,
-                    "sf": sf,
-                    "n_docs": n_docs,
-                    "cpus": cpus,
-                    "build_sec": round(build_sec, 3),
-                    "docs_per_sec": round(docs_per_sec, 2),
-                    "build_stages": stages,
-                    "query_p95_sec": p95,
+        out = {
+            "metric": "index_build_plus_queryset_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "n_docs": n_docs,
+            "cpus": cpus,
+            "build_sec": round(build_sec, 3),
+            "docs_per_sec": round(docs_per_sec, 2),
+            "build_stages": stages,
+            "query_p95_sec": p95,
+        }
+        # the sf0.1 corpus (5k docs) is fixed-overhead dominated; attach
+        # the latest 1M-doc scaling measurement (scaling_bench.py output,
+        # median-of-3 per parallelism level) so round deltas also show
+        # data-bound throughput at a non-toy scale
+        import glob
+
+        cands = sorted(glob.glob(os.path.join(REPO, "BENCH", "scaling_r[0-9][0-9].json")))
+        if cands:
+            try:
+                with open(cands[-1]) as fh:
+                    s = json.load(fh)
+                out["scale_1m"] = {
+                    "n_docs": s.get("n_docs"),
+                    "local1_docs_per_sec": s.get("local1", {}).get("docs_per_sec"),
+                    "local4_docs_per_sec": s.get("local4", {}).get("docs_per_sec"),
+                    "scaling_efficiency": s.get("scaling_efficiency"),
                 }
-            )
-        )
+                q1m = s.get("query_1m")
+                if q1m:
+                    out["scale_1m"]["local32_docs_per_sec"] = q1m.get("docs_per_sec")
+                    out["scale_1m"]["query_p95_sec"] = q1m.get("query_p95_sec")
+            except Exception:
+                pass
+        print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

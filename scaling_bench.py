@@ -91,15 +91,29 @@ def _control(fn, n: int) -> float:
     return totals[4 * n] / (4.0 * totals[n])
 
 
-def _run(cpus: int, corpus: str) -> dict:
+def _run(cpus: int, corpus: str, timeout: int = 1800, retries: int = 1) -> dict:
+    """One fresh-JVM build. The sandbox host occasionally STALLS a child
+    outright (observed: a local[4] build that normally takes ~230s hung
+    past 3600s) — a hung child is discarded and retried rather than
+    poisoning the whole measurement."""
     code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-4000:])
-        raise RuntimeError(f"child local[{cpus}] failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    last_err = None
+    for _ in range(retries + 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired as e:
+            last_err = e
+            sys.stderr.write(f"\nchild local[{cpus}] hung past {timeout}s; retrying\n")
+            continue
+        if out.returncode != 0:
+            last_err = RuntimeError(out.stderr[-2000:])
+            sys.stderr.write(out.stderr[-4000:])
+            continue
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    raise RuntimeError(f"child local[{cpus}] failed: {last_err}")
 
 
 def main() -> None:
@@ -125,24 +139,38 @@ def main() -> None:
     if "--repeats" in sys.argv:
         repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
 
-    cpu_ceiling = _control(_burn, n)
-    mem_ceiling = _control(_stream, n)
+    cpu_ceiling_pre = _control(_burn, n)
+    mem_ceiling_pre = _control(_stream, n)
 
-    # the sandbox host is noisy (2x stage-time swings between identical
-    # runs) — take the median build time of `repeats` runs per level and
-    # report every run so the spread is auditable
-    def runs_for(cpus: int) -> tuple[dict, list[float], float]:
-        runs = sorted((_run(cpus, corpus) for _ in range(repeats)), key=lambda r: r["build_sec"])
-        times = [r["build_sec"] for r in runs]
+    # The sandbox host is noisy on MINUTE timescales (external tenants;
+    # the hardware controls themselves swing 0.54-0.85 between probes).
+    # Two defenses: (1) INTERLEAVE the levels (N, 4N, N, 4N, ...) so a
+    # slow window degrades both levels instead of biasing one; (2) take
+    # the median per level and report every run so the spread is
+    # auditable. Controls are measured before AND after the builds; the
+    # normalization uses their mean.
+    runs: dict[int, list[dict]] = {n: [], 4 * n: []}
+    for _ in range(repeats):
+        runs[n].append(_run(n, corpus))
+        runs[4 * n].append(_run(4 * n, corpus))
+
+    def summarize(cpus: int) -> tuple[dict, list[float], float]:
+        rs = sorted(runs[cpus], key=lambda r: r["build_sec"])
+        times = [r["build_sec"] for r in rs]
         spread = (max(times) - min(times)) / times[len(times) // 2]
-        return runs[len(runs) // 2], times, round(spread, 4)
+        return rs[len(rs) // 2], times, round(spread, 4)
 
-    r1, t1_all, sp1 = runs_for(n)
-    r4, t4_all, sp4 = runs_for(4 * n)
+    cpu_ceiling_post = _control(_burn, n)
+    mem_ceiling_post = _control(_stream, n)
+    cpu_ceiling = (cpu_ceiling_pre + cpu_ceiling_post) / 2.0
+    mem_ceiling = (mem_ceiling_pre + mem_ceiling_post) / 2.0
+
+    r1, t1_all, sp1 = summarize(n)
+    r4, t4_all, sp4 = summarize(4 * n)
     eff = r4["docs_per_sec"] / (4.0 * r1["docs_per_sec"])
     result = {
-        "protocol": f"same input, local[{n}] (N) vs local[{4*n}] (4N), fresh JVM each,"
-        f" median of {repeats}",
+        "protocol": f"same input, local[{n}] (N) vs local[{4*n}] (4N) INTERLEAVED,"
+        f" fresh JVM each, median of {repeats} per level",
         "n_docs": n_docs,
         f"local{n}": r1,
         f"local{4*n}": r4,
@@ -151,7 +179,9 @@ def main() -> None:
         "spread": {f"local{n}": sp1, f"local{4*n}": sp4},
         "scaling_efficiency": round(eff, 4),
         "cpu_ceiling_busyloop": round(cpu_ceiling, 4),
+        "cpu_ceiling_pre_post": [round(cpu_ceiling_pre, 4), round(cpu_ceiling_post, 4)],
         "mem_bandwidth_ceiling_stream": round(mem_ceiling, 4),
+        "mem_ceiling_pre_post": [round(mem_ceiling_pre, 4), round(mem_ceiling_post, 4)],
         "normalized_vs_cpu_ceiling": round(eff / cpu_ceiling, 4),
         "target": 0.8,
     }
@@ -166,7 +196,10 @@ index build (tokenize → staged tf → tid-keyed blocked varint postings +
 doclen/dfreq/stats, lineage + tid-injectivity check on) over the same
 deterministic synthetic corpus (`corpus.synth_documents`, seed 42,
 {n_docs:,} docs, written once as parquet) at two parallelism levels, each
-in a fresh JVM, median of {repeats} runs per level.
+in a fresh JVM, runs INTERLEAVED across levels (so minute-scale host
+noise degrades both levels, not one), median of {repeats} runs per level;
+hardware controls measured before and after, normalization uses their
+mean.
 
 | parallelism | build_sec (median) | all runs (sec) | spread | docs/sec |
 |---|---|---|---|---|
