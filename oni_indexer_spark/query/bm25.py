@@ -76,6 +76,57 @@ def _make_decode_map_arrow(block_size: int):
     return _decode
 
 
+def _make_decode_score_topk_arrow(
+    block_size: int, idf_val: float, avgdl: float, k1: float, b: float, k: int
+):
+    """Single-term fast path: decode + BM25 score + per-batch candidate
+    top-k in ONE numpy pass. A single term hits each doc at most once
+    (tid, doc_id is unique across segments), so per-posting scores ARE
+    the final per-doc scores — no cross-term sum, hence no groupBy, and
+    each Arrow batch can pre-select its own top candidates, so a hot
+    term's ~n_docs postings never leave the Python worker (measured 1M
+    docs: the dominant cost of q_hot_single was pushing 1M decoded rows
+    through Arrow + a JVM hash aggregate).
+
+    Exactness: the score expression evaluates the same IEEE-double ops
+    in the same order as the JVM/tfn_expr/DuckDB forms. Selection is
+    conservative against the rank-rounding grid: every row with
+    score >= round(kth_batch_score, 6) - 1e-6 survives (same guard as
+    the block-max pruner), so the global top-k after rounding is
+    unchanged."""
+
+    def _decode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from oni_indexer_spark.index.codec import decode_postings_flat
+
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            blobs = batch.column(idx["blob"]).to_pylist()
+            base_docs = (
+                batch.column(idx["block_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+                * block_size
+            )
+            base_dls = (
+                batch.column(idx["block_min_dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            doc_ids, tfs, dls, _ = decode_postings_flat(blobs, base_docs, base_dls)
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            s = idf_val * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            if s.size > k:
+                kth = np.partition(s, s.size - k)[s.size - k]
+                keep = s >= (np.round(kth, 6) - 1e-6)
+                doc_ids, s = doc_ids[keep], s[keep]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, type=pa.int64()), pa.array(s, type=pa.float64())],
+                names=["doc_id", "score"],
+            )
+
+    return _decode
+
+
 def _decoded(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
     """(tid, doc_id, tf, dl) rows from (possibly compressed) block rows."""
     if cfg.compress:
@@ -109,10 +160,27 @@ def _scores(
     avgdl: float,
     mode: str,
     fq: dict[str, str] | None,
+    k: int | None = None,
 ) -> DataFrame:
     """Exact (doc_id, score) for every doc present in the postings subset.
-    ``idf`` is keyed by tid (the postings key)."""
+    ``idf`` is keyed by tid (the postings key). ``k`` (when given)
+    enables the single-term fast path's per-batch candidate selection —
+    it must be the query's final top-k."""
     cfg = tables.cfg
+    if len(idf) == 1 and fq is None and cfg.compress and k is not None:
+        # single-term fast path: per-posting score IS the per-doc score;
+        # decode+score+candidate-select in one numpy pass, no aggregate.
+        # (fq needs the full score set — filtered docs could pull
+        # sub-candidate rows into the top-k — so it takes the slow path.)
+        (idf_val,) = idf.values()
+        return postings_subset.select(
+            "block_id", "block_min_dl", "blob"
+        ).mapInArrow(
+            _make_decode_score_topk_arrow(
+                cfg.block_size, float(idf_val), float(avgdl), cfg.k1, cfg.b, k
+            ),
+            "doc_id long, score double",
+        )
     rows = _decoded(postings_subset, cfg)
     idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
     per_term = rows.withColumn(
@@ -252,7 +320,7 @@ class Searcher:
             prune = sum(dfs.values()) > self.prune_cost_threshold
         if prune and mode == "or" and fq is None:
             p = _blockmax_prune(p, tables, idf, avgdl, k)
-        return _ranked(_scores(p, tables, idf, avgdl, mode, fq), k)
+        return _ranked(_scores(p, tables, idf, avgdl, mode, fq, k=k), k)
 
 
 # Module-level convenience: one cached Searcher per IndexTables instance,
@@ -347,7 +415,7 @@ def _blockmax_prune(
     cand_blocks = bounds.orderBy(F.desc("ub"), F.asc("block_id")).limit(k).select("block_id")
     cand_scores = _scores(
         p.join(F.broadcast(cand_blocks), "block_id", "left_semi"),
-        tables, idf, avgdl, "or", None,
+        tables, idf, avgdl, "or", None, k=k,
     )
     # τ = kth candidate score, as a broadcastable 1-row frame (nk < k
     # means no threshold could be established: keep everything).

@@ -96,3 +96,57 @@ def test_resolve_via_no_unconditional_broadcast(spark):
     out_b = ops.resolve_via(items, edges, ["conviction"], "loc", broadcast=True)
     plan_b = out_b._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" in plan_b.lower()
+
+
+def test_single_term_fastpath_no_exchange(disk_index):
+    """Single-term queries score + candidate-select inside the decoder
+    (per-posting score == per-doc score), so the plan has NO shuffle at
+    all — scan → mapInArrow → TakeOrderedAndProject."""
+    plan = _plan(topk(disk_index, "hash", k=10, prune=False))
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" not in plan
+
+
+def test_single_term_fastpath_matches_slow_path(spark, disk_index):
+    """Fast path is rank- and score-exact vs the aggregate path (the
+    slow branch is forced by passing k=None to _scores): same rounded
+    scores, same order, for hot, mid and rare terms."""
+    from pyspark.sql import functions as F
+
+    from oni_indexer_spark.query.bm25 import _ranked, _scores, searcher_for
+
+    s = searcher_for(disk_index)
+
+    terms = ["hash", "the", "scan"]
+    for t in terms:
+        fast = [tuple(r) for r in topk(disk_index, t, k=10, prune=False).collect()]
+        # slow path: force via the aggregate branch (k=None disables the
+        # fast path inside _scores)
+        n_docs, avgdl = s.stats()
+        dfs = s.term_dfs([t])
+        if not dfs:
+            continue
+        import math
+
+        from oni_indexer_spark.hashing import xxhash64_str
+
+        idf = {
+            xxhash64_str(tt): math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+            for tt, d in dfs.items()
+        }
+        from oni_indexer_spark.query.bm25 import _buckets_for
+
+        p = disk_index.postings.where(
+            F.col("bucket").isin(_buckets_for(disk_index, [t]))
+            & F.col("tid").isin(list(idf))
+        )
+        slow = [
+            tuple(r)
+            for r in _ranked(
+                _scores(p, disk_index, idf, avgdl, "or", None, k=None), 10
+            ).collect()
+        ]
+        fast_r = [(r[0], r[1], round(r[2], 6)) for r in fast]
+        slow_r = [(r[0], r[1], round(r[2], 6)) for r in slow]
+        assert fast_r == slow_r, t
