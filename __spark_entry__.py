@@ -609,6 +609,9 @@ def _q_etl_facet_multi(spark, sf_dir):
     cf = {
         "keywords": {"multi": True, "facet": {"tokenize": {"delim": ","}}},
         "author": {"resolve": "multi", "facet": True},
+        # resolve:"single" facets the single resolved value (r3 ADVICE:
+        # the facet value source dispatches like compile_type_pipeline)
+        "hasPart": {"resolve": "single", "facet": True},
     }
     return facet_fields(
         fixture.spark_items(spark), fixture.spark_edges(spark), "Dataset", cf

@@ -63,24 +63,39 @@ def main() -> None:
     n_docs = docs.count()
     cfg = IndexConfig(block_size=128, n_buckets=32)
 
-    tmp = tempfile.mkdtemp(prefix="oni_index_")
-    path = os.path.join(tmp, "index")
-    try:
-        t0 = time.time()
-        build_to_path(docs, path, cfg, bucket_group_size=32, resume=False)
-        build_sec = time.time() - t0
-        docs_per_sec = n_docs / build_sec
+    # Noise-resistance protocol (r3 VERDICT #1: the host's documented
+    # minute-scale noise hit BENCH_r03 at full amplitude): the build runs
+    # BUILD_REPS times into fresh dirs and the MIN is reported (min is the
+    # right estimator for a fixed-work stage under additive noise); each
+    # query runs QUERY_REPS times and the MEDIAN is reported.
+    BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "2"))
+    QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
 
-        # per-stage breakdown straight from the build's lineage records
+    tmp = tempfile.mkdtemp(prefix="oni_index_")
+    try:
+        build_secs: list[float] = []
         stages: dict[str, float] = {}
-        lin_dir = os.path.join(path, "_lineage")
-        for f in sorted(os.listdir(lin_dir)):
-            if not f.endswith(".json") or f == "meta.json":
-                continue
-            with open(os.path.join(lin_dir, f)) as fh:
-                rec = json.load(fh)
-            if rec.get("status") == "done" and "finished_at" in rec:
-                stages[rec["stage"]] = round(rec["finished_at"] - rec["started_at"], 2)
+        path = ""
+        for rep in range(max(1, BUILD_REPS)):
+            path = os.path.join(tmp, f"index{rep}")
+            t0 = time.time()
+            build_to_path(docs, path, cfg, bucket_group_size=32, resume=False)
+            build_secs.append(time.time() - t0)
+            if build_secs[-1] == min(build_secs):
+                # per-stage breakdown from the FASTEST build's lineage
+                stages = {}
+                lin_dir = os.path.join(path, "_lineage")
+                for f in sorted(os.listdir(lin_dir)):
+                    if not f.endswith(".json") or f == "meta.json":
+                        continue
+                    with open(os.path.join(lin_dir, f)) as fh:
+                        rec = json.load(fh)
+                    if rec.get("status") == "done" and "finished_at" in rec:
+                        stages[rec["stage"]] = round(
+                            rec["finished_at"] - rec["started_at"], 2
+                        )
+        build_sec = min(build_secs)
+        docs_per_sec = n_docs / build_sec
 
         if build_only:
             print(
@@ -102,11 +117,18 @@ def main() -> None:
         # warmup (JVM/codegen), not counted
         topk(tables, "warmup scan", k=5).collect()
 
-        qtimes: dict[str, float] = {}
-        for name, q, k, mode, fq in QUERY_SET:
-            t0 = time.time()
-            topk(tables, q, k=k, mode=mode, fq=fq).collect()
-            qtimes[name] = round(time.time() - t0, 4)
+        # interleaved reps (whole query set per rep, median per query):
+        # a slow minute hits one REP of every query, not one query's
+        # entire sample — the median then rejects it
+        import statistics
+
+        samples: dict[str, list[float]] = {name: [] for name, *_ in QUERY_SET}
+        for _ in range(max(1, QUERY_REPS)):
+            for name, q, k, mode, fq in QUERY_SET:
+                t0 = time.time()
+                topk(tables, q, k=k, mode=mode, fq=fq).collect()
+                samples[name].append(time.time() - t0)
+        qtimes = {name: round(statistics.median(s), 4) for name, s in samples.items()}
 
         lat = sorted(qtimes.values())
         p95 = lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)]
@@ -123,6 +145,13 @@ def main() -> None:
             "docs_per_sec": round(docs_per_sec, 2),
             "build_stages": stages,
             "query_p95_sec": p95,
+            "protocol": {
+                "build_reps": max(1, BUILD_REPS),
+                "build_estimator": "min",
+                "build_secs_all": [round(b, 3) for b in build_secs],
+                "query_reps": max(1, QUERY_REPS),
+                "query_estimator": "median",
+            },
         }
         # the sf0.1 corpus (5k docs) is fixed-overhead dominated; attach
         # the latest 1M-doc scaling measurement (scaling_bench.py output,
@@ -135,7 +164,14 @@ def main() -> None:
             try:
                 with open(cands[-1]) as fh:
                     s = json.load(fh)
+                # provenance (r3 ADVICE): these numbers come from a PRIOR
+                # scaling_bench run, not this invocation — say which file
+                # and when it was measured so stale attachments are visible
                 out["scale_1m"] = {
+                    "source_file": os.path.basename(cands[-1]),
+                    "source_mtime_utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(cands[-1]))
+                    ),
                     "n_docs": s.get("n_docs"),
                     "local1_docs_per_sec": s.get("local1", {}).get("docs_per_sec"),
                     "local4_docs_per_sec": s.get("local4", {}).get("docs_per_sec"),

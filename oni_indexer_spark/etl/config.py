@@ -168,6 +168,11 @@ def schema_ddl(
     return f"CREATE OR REPLACE TEMPORARY VIEW {view} AS\nSELECT\n  {sel}\nFROM {table}"
 
 
+def _norm_via(hops: list) -> list[dict]:
+    """Normalize a via chain: bare property strings become hop dicts."""
+    return [{"property": h} if isinstance(h, str) else dict(h) for h in hops]
+
+
 def facet_fields(
     items: DataFrame, edges: DataFrame, type_name: str, type_cf: dict
 ) -> DataFrame:
@@ -177,10 +182,14 @@ def facet_fields(
     reference's ``this.solr[facetField] = facet``,
     ``lib/ROCrateIndexer.js:483-499``). Facet values follow ``makeFacet``
     (``:732-764``): ``tokenize`` splits the raw value; otherwise the
-    facet is the resolved/flattened value (resolve configs facet the
-    resolved display names). A facet name matching no registry pattern
-    raises at compile time — Solr would reject the undeclared field at
-    index time."""
+    facet is the resolved/flattened ``this.solr[index_as]`` value — so
+    the value source dispatches EXACTLY like compile_type_pipeline's
+    resolve dispatch: ``resolve: "single"`` facets the single resolved
+    target, a dict-valued resolve follows its via chain and emits its
+    configured display field, and plain/multi resolve facets every
+    resolved name. A facet name matching no registry pattern raises at
+    compile time — Solr would reject the undeclared field at index
+    time."""
     base = items.where(F.array_contains(F.col("types"), type_name))
     base_ids = base.select("id")
     outs: list[DataFrame] = []
@@ -197,7 +206,22 @@ def facet_fields(
                 "id", F.explode(ops.facet_tokenize(field, delim)).alias("value")
             )
         elif "resolve" in fcf:
-            r = ops.resolve(items, edges, field, "_v").join(base_ids, "id", "left_semi")
+            res = fcf["resolve"]
+            if isinstance(res, dict):
+                # dict form: follow the field, then the via chain, facet
+                # the configured display field (criminals config shape)
+                via = [{"property": field}] + _norm_via(res.get("via", []))
+                r = ops.resolve_via(
+                    items, edges, via, "_v", display=res.get("display", "name")
+                ).join(base_ids, "id", "left_semi")
+            elif res == "single":
+                r = ops.resolve_single(items, edges, field, "_v").join(
+                    base_ids, "id", "left_semi"
+                )
+            else:
+                r = ops.resolve(items, edges, field, "_v").join(
+                    base_ids, "id", "left_semi"
+                )
             rows = r.select("id", F.col("_v").alias("value"))
         else:
             rows = base.where(F.col(field).isNotNull()).select(
@@ -247,8 +271,7 @@ def compile_type_pipeline(
     def long(df: DataFrame, field: str, value: Column) -> DataFrame:
         return df.select(F.col("id"), F.lit(field).alias("field"), value.alias("value"))
 
-    def norm_via(hops: list) -> list[dict]:
-        return [{"property": h} if isinstance(h, str) else dict(h) for h in hops]
+    norm_via = _norm_via
 
     for field, fcf in type_cf.items():
         if field == "@reverse" and isinstance(fcf, dict):

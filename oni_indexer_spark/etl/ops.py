@@ -54,20 +54,27 @@ def filter_items(items: DataFrame, spec: dict, root_id: str | None = None) -> Da
 # --- B2: type dispatch (indexItems, lib/ROCrateIndexer.js:317-342) ------
 
 def type_dispatch(items: DataFrame, type_filters: dict[str, dict]) -> DataFrame:
-    """One branch per configured @type (first matching type wins —
-    reference truncates types=[type]); branches union. Output adds
-    ``record_type_s`` (B6 base projection's type column)."""
-    out = None
-    claimed = F.lit(False)
+    """First matching configured @type wins (the reference truncates
+    types=[type]); an item whose winning type's filter rejects it is
+    dropped (not re-dispatched to a later type). Output adds
+    ``record_type_s`` (B6 base projection's type column).
+
+    ONE scan of items: the winner is a ``when``-chain projection and the
+    per-type filters compose into a single disjunctive predicate — the
+    per-type union-of-branches form re-scanned items once per configured
+    type (r3 VERDICT nit #2), which at a many-type config multiplies the
+    100 TB corpus read."""
+    rec = None
+    for typ in type_filters:
+        hit = F.array_contains(F.col("types"), typ)
+        rec = F.when(hit, F.lit(typ)) if rec is None else rec.when(hit, F.lit(typ))
+    out = items.withColumn("record_type_s", rec)
+    keep = F.lit(False)
     for typ, spec in type_filters.items():
-        hit = F.array_contains(F.col("types"), typ) & ~claimed
-        branch = (
-            items.where(hit & compile_filter(spec or {}))
-            .withColumn("record_type_s", F.lit(typ))
+        keep = keep | (
+            (F.col("record_type_s") == typ) & compile_filter(spec or {})
         )
-        out = branch if out is None else out.unionByName(branch)
-        claimed = claimed | F.array_contains(F.col("types"), typ)
-    return out
+    return out.where(keep)
 
 
 # --- B6: base projection (baseSolr/map_all, lib/ROCrateIndexer.js:826-834)

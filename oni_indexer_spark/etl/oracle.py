@@ -352,8 +352,11 @@ WHERE list_contains(p.types, 'Person')
 def facet_multi_sql() -> str:
     # A8 facetFieldName data path: Dataset keywords tokenized under
     # Dataset_keywords_facetmulti; Dataset author resolved names under
-    # Dataset_author_facetmulti (facet default = resolved values,
-    # lib/ROCrateIndexer.js:732-764).
+    # Dataset_author_facetmulti; Dataset hasPart (resolve:"single")
+    # facets the ONE resolved value under Dataset_hasPart_facet (facet
+    # default = resolved values, lib/ROCrateIndexer.js:732-764, and the
+    # value source dispatches by resolve arity like makeFacet's
+    # this.solr[index_as]).
     return f"""{sql_cte()},
 kw AS (
   SELECT id, 'Dataset_keywords_facetmulti' AS facet_field,
@@ -369,8 +372,18 @@ au AS (
   JOIN edges e ON i.id = e.src AND e.property = 'author'
   JOIN items t ON e.dst = t.id
   WHERE list_contains(i.types, 'Dataset')
+),
+hp AS (
+  SELECT id, 'Dataset_hasPart_facet' AS facet_field, value FROM (
+    SELECT i.id AS id, t.name AS value,
+           row_number() OVER (PARTITION BY i.id ORDER BY e.dst ASC) AS rn
+    FROM items i
+    JOIN edges e ON i.id = e.src AND e.property = 'hasPart'
+    JOIN items t ON e.dst = t.id
+    WHERE list_contains(i.types, 'Dataset')
+  ) WHERE rn = 1
 )
-SELECT * FROM kw UNION ALL SELECT * FROM au
+SELECT * FROM kw UNION ALL SELECT * FROM au UNION ALL SELECT * FROM hp
 """.strip()
 
 

@@ -163,11 +163,17 @@ def _tf_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def _doclen_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    # NULL content normalizes to dl=0 (tokenizing NULL yields NULL size);
+    # _doclen_from_tf's left-join path also coalesces no-tf docs to 0, so
+    # cache-mode and disk-mode builds of a corpus containing null-content
+    # docs produce the SAME avgdl and therefore the same BM25 scores.
     meta = [c for c in cfg.meta_cols if c in docs.columns]
     return docs.select(
         "doc_id",
         *meta,
-        F.size(analyzer_tokens("content", cfg.analyzer)).alias("dl"),
+        F.when(F.col("content").isNull(), F.lit(0))
+        .otherwise(F.size(analyzer_tokens("content", cfg.analyzer)))
+        .alias("dl"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         _seg_of(F.col("doc_id"), cfg).alias("seg"),
     )

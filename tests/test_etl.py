@@ -277,3 +277,41 @@ def test_resolve_via_reverse_hop(spark, items, edges):
     assert ("p2", "Expanding Knowledge") in got
     assert ("p3", "Information Systems") in got
     assert len([1 for i, _ in got if i == "p3"]) == 2
+
+
+def test_type_dispatch_single_scan(spark, items):
+    """The when-chain dispatch reads items ONCE (r3 VERDICT nit #2): the
+    optimized plan contains a single relation scan, not one per type."""
+    d = ops.type_dispatch(items, {"Dataset": {}, "Person": {"name": {"re": "a"}}})
+    plan = d._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("InMemoryRelation") + plan.count("LogicalRDD") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_facet_fields_resolve_dispatch(spark, items, edges):
+    """r3 ADVICE (medium): facet value source dispatches by resolve
+    arity/form like compile_type_pipeline — resolve:"single" facets ONE
+    value; a dict-valued resolve follows its via chain + display."""
+    from oni_indexer_spark.etl.config import facet_fields
+
+    cf = {
+        "hasPart": {"resolve": "single", "facet": True},
+        "author": {
+            "resolve": {"via": [{"property": "affiliation"}], "display": "name"},
+            "facet": True,
+        },
+    }
+    rows = [
+        (r["id"], r["facet_field"], r["value"])
+        for r in facet_fields(items, edges, "Dataset", cf).collect()
+    ]
+    # hasPart resolve:"single": exactly ONE row for d1 (min target id)
+    hp = [r for r in rows if r[1] == "Dataset_hasPart_facet"]
+    assert hp == [("d1", "Dataset_hasPart_facet", "Sub corpus")]
+    # dict-resolve: author -> affiliation chain, display=name (NOT the
+    # 1-hop author name the old code emitted)
+    au = sorted(r for r in rows if r[1] == "Dataset_author_facet")
+    assert au == [
+        ("d1", "Dataset_author_facet", "Analytical Engines Ltd"),
+        ("d1", "Dataset_author_facet", "Analytical Engines Ltd"),
+    ]
