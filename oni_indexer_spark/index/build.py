@@ -56,7 +56,6 @@ must do explicitly):
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -441,9 +440,12 @@ def build_to_path(
         try:
             files = docs.inputFiles()
             if files:
-                size = sum(
-                    os.path.getsize(f.removeprefix("file:")) for f in files
-                )
+                # Hadoop FileStatus, not os.stat: inputFiles() URIs may be
+                # hdfs:/s3a: on the real cluster (r3 VERDICT #4)
+                from oni_indexer_spark.fsio import Fs
+
+                stat_fs = Fs(files[0], spark)
+                size = sum(stat_fs.size(f) for f in files)
         except Exception:
             size = None
         if size is not None:
@@ -612,7 +614,7 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
     (tests/test_append.py).
     """
     spark = docs_new.sparkSession
-    _replay_pending_swap(path)
+    _replay_pending_swap(path, spark)
     lin = L.Lineage(spark, path)
     cfg = _cfg_from_meta(lin.read_meta(), path)
     new_min = docs_new.agg(F.min("doc_id")).collect()[0][0]
@@ -699,7 +701,7 @@ def overwrite_docs(
     the manifest write (tests/test_overwrite.py crash-injection).
     """
     spark = docs_new.sparkSession
-    _replay_pending_swap(path)
+    _replay_pending_swap(path, spark)
     lin = L.Lineage(spark, path)
     cfg = _cfg_from_meta(lin.read_meta(), path)
     ids_row = docs_new.agg(
@@ -801,103 +803,109 @@ def overwrite_docs(
         "overwrite"
     ).parquet(f"{path}/stats.next")
 
-    _write_swap_manifest(path, segs, cfg.n_buckets)
+    swap_fs = _fs_for(path, spark)
+    _write_swap_manifest(path, segs, cfg.n_buckets, swap_fs)
     if _fault_after_stage:  # crash-injection point (tests/test_overwrite.py)
         raise RuntimeError("injected crash: swap manifest written, swap not applied")
-    _apply_swap(path)
+    _apply_swap(path, swap_fs)
     lin.finish(stage, t0, docs_tokenized=int(ids_row["n"]), docs_removed=n_removed)
     invalidate_searchers(path)
 
 
 # --- overwrite swap machinery: stage → durable manifest → idempotent swap
+#
+# All I/O goes through the Hadoop FileSystem API (fsio.Fs) — the swap
+# must work where the index actually lives at north-star scale
+# (HDFS/S3A/...), where os.rename does not exist (r3 VERDICT #4). On
+# ``file:`` paths Hadoop resolves to the local filesystem, so the
+# crash-injection tests exercise the identical code path.
 
 
 def _swap_manifest_path(path: str) -> str:
-    return os.path.join(path, "_pending_swap.json")
+    return path.rstrip("/") + "/_pending_swap.json"
 
 
-def _write_swap_manifest(path: str, segs: list, n_buckets: int) -> None:
+def _fs_for(path: str, spark: SparkSession | None = None):
+    from oni_indexer_spark.fsio import Fs
+
+    return Fs(path, spark)
+
+
+def _write_swap_manifest(path: str, segs: list, n_buckets: int, fs) -> None:
     """Record, BEFORE any live-dir mutation, exactly which directories the
     swap will replace (staged dir exists → move) or remove (no staged
     counterpart → a (bucket, seg) whose every posting was overwritten
-    away). Written atomically (tmp + rename) so a torn manifest is never
-    observed."""
+    away). Written via tmp + rename so a torn manifest is never observed
+    on an atomic-rename filesystem; a LOST manifest (non-atomic store) is
+    equivalent to a crash before the manifest — live index untouched."""
     moves: list[list[str]] = []  # [staged_rel, live_rel]
     deletes: list[str] = []  # live_rel with no replacement
+    base = path.rstrip("/")
     for s in segs:
         rel = f"doclen/seg={s}"
-        if os.path.isdir(os.path.join(path, "doclen.next", f"seg={s}")):
+        if fs.is_dir(f"{base}/doclen.next/seg={s}"):
             moves.append([f"doclen.next/seg={s}", rel])
         else:
             deletes.append(rel)
         for b in range(n_buckets):
             rel = f"postings/bucket={b}/seg={s}"
             staged = f"postings.next/bucket={b}/seg={s}"
-            if os.path.isdir(os.path.join(path, staged)):
+            if fs.is_dir(f"{base}/{staged}"):
                 moves.append([staged, rel])
             else:
                 deletes.append(rel)
     man = {"moves": moves, "deletes": deletes}
-    tmp = _swap_manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(man, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _swap_manifest_path(path))
+    fs.write_bytes_atomic(_swap_manifest_path(path), json.dumps(man).encode())
 
 
-def _apply_swap(path: str) -> None:
+def _apply_swap(path: str, fs) -> None:
     """Apply (or re-apply after a crash) a pending overwrite swap. Every
     step is idempotent: deletes are of dirs that are never recreated;
     each staged dir is renamed at most once (skipped when already moved);
     staged stats part-files move individually (unique part names);
     dfreq.next replaces dfreq only while it still exists. The manifest is
     removed LAST, so any prefix of this function can be replayed."""
-    import shutil
-
     mpath = _swap_manifest_path(path)
-    if not os.path.exists(mpath):
+    if not fs.exists(mpath):
         return
-    with open(mpath) as f:
-        man = json.load(f)
+    man = json.loads(fs.read_bytes(mpath))
+    base = path.rstrip("/")
     for rel in man["deletes"]:
-        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        fs.delete(f"{base}/{rel}")
     for staged_rel, live_rel in man["moves"]:
-        staged = os.path.join(path, staged_rel)
-        live = os.path.join(path, live_rel)
-        if os.path.isdir(staged):
-            shutil.rmtree(live, ignore_errors=True)
-            os.makedirs(os.path.dirname(live), exist_ok=True)
-            os.rename(staged, live)
-    stats_next = os.path.join(path, "stats.next")
-    if os.path.isdir(stats_next):
-        for name in os.listdir(stats_next):
-            if name.startswith("part-"):
-                os.rename(
-                    os.path.join(stats_next, name),
-                    os.path.join(path, "stats", name),
-                )
-        shutil.rmtree(stats_next, ignore_errors=True)
-    dfreq_next = os.path.join(path, "dfreq.next")
-    if os.path.isdir(dfreq_next):
-        shutil.rmtree(os.path.join(path, "dfreq"), ignore_errors=True)
-        os.rename(dfreq_next, os.path.join(path, "dfreq"))
+        staged = f"{base}/{staged_rel}"
+        live = f"{base}/{live_rel}"
+        if fs.is_dir(staged):
+            fs.delete(live)
+            fs.mkdirs(live.rsplit("/", 1)[0])
+            fs.rename(staged, live)
+    stats_next = f"{base}/stats.next"
+    if fs.is_dir(stats_next):
+        for name, is_dir, _m, _s in fs.list_status(stats_next):
+            if not is_dir and name.startswith("part-"):
+                fs.rename(f"{stats_next}/{name}", f"{base}/stats/{name}")
+        fs.delete(stats_next)
+    dfreq_next = f"{base}/dfreq.next"
+    if fs.is_dir(dfreq_next):
+        fs.delete(f"{base}/dfreq")
+        fs.rename(dfreq_next, f"{base}/dfreq")
     for leftover in ("postings.next", "doclen.next"):
-        shutil.rmtree(os.path.join(path, leftover), ignore_errors=True)
-    os.remove(mpath)
+        fs.delete(f"{base}/{leftover}")
+    fs.delete(mpath, recursive=False)
 
 
-def _replay_pending_swap(path: str) -> None:
+def _replay_pending_swap(path: str, spark: SparkSession | None = None) -> None:
     """Self-heal hook: finish a crashed overwrite's swap before reading
     or mutating the index (no-op when no manifest is pending)."""
-    if os.path.exists(_swap_manifest_path(path)):
-        _apply_swap(path)
+    fs = _fs_for(path, spark)
+    if fs.exists(_swap_manifest_path(path)):
+        _apply_swap(path, fs)
 
 
 def read_index(spark: SparkSession, path: str) -> IndexTables:
     # self-heal: an overwrite_docs that crashed mid-swap left a durable
     # swap manifest; replaying it is idempotent and restores consistency
-    _replay_pending_swap(path)
+    _replay_pending_swap(path, spark)
     cfg = _cfg_from_meta(L.Lineage(spark, path).read_meta(), path)
     return IndexTables(
         spark.read.parquet(f"{path}/postings"),

@@ -8,34 +8,38 @@ equivalent: one durable record per build stage / postings bucket-group,
 written atomically (tmp + rename), so a killed build re-run skips every
 stage whose record says ``done`` (see build.build_to_path).
 
-Records live under ``<index>/_lineage/<stage>.json``. ``as_dataframe``
-exposes them as the lineage table from FIXTURES.md §4.
+Records live under ``<index>/_lineage/<stage>.json``. All I/O goes
+through the Hadoop FileSystem API (:mod:`oni_indexer_spark.fsio`), so an
+index path on HDFS/S3A behaves exactly like a local one (r3 VERDICT #4).
+``as_dataframe`` exposes the records as the lineage table from
+FIXTURES.md §4.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+from oni_indexer_spark.fsio import Fs
 
 
 class Lineage:
     def __init__(self, spark: SparkSession, index_path: str):
         self.spark = spark
-        self.dir = os.path.join(index_path, "_lineage")
-        os.makedirs(self.dir, exist_ok=True)
+        self.dir = index_path.rstrip("/") + "/_lineage"
+        self.fs = Fs(index_path, spark)
+        self.fs.mkdirs(self.dir)
 
     def _file(self, stage: str) -> str:
-        return os.path.join(self.dir, f"{stage}.json")
+        return f"{self.dir}/{stage}.json"
 
     def is_done(self, stage: str) -> bool:
         f = self._file(stage)
-        if not os.path.exists(f):
+        if not self.fs.exists(f):
             return False
-        with open(f) as fh:
-            return json.load(fh).get("status") == "done"
+        return json.loads(self.fs.read_bytes(f)).get("status") == "done"
 
     def start(self, stage: str) -> float:
         t0 = time.time()
@@ -58,27 +62,19 @@ class Lineage:
         self._write(stage, rec)
 
     def _write(self, stage: str, rec: dict) -> None:
-        tmp = self._file(stage) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-        os.replace(tmp, self._file(stage))
+        self.fs.write_bytes_atomic(self._file(stage), json.dumps(rec).encode())
 
     def write_meta(self, meta: dict) -> None:
-        tmp = os.path.join(self.dir, "meta.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, os.path.join(self.dir, "meta.json"))
+        self.fs.write_bytes_atomic(f"{self.dir}/meta.json", json.dumps(meta).encode())
 
     def read_meta(self) -> dict:
-        with open(os.path.join(self.dir, "meta.json")) as fh:
-            return json.load(fh)
+        return json.loads(self.fs.read_bytes(f"{self.dir}/meta.json"))
 
     def records(self) -> list[dict]:
         out = []
-        for name in sorted(os.listdir(self.dir)):
-            if name.endswith(".json") and name != "meta.json":
-                with open(os.path.join(self.dir, name)) as fh:
-                    out.append(json.load(fh))
+        for name, is_dir, _mtime, _size in sorted(self.fs.list_status(self.dir)):
+            if not is_dir and name.endswith(".json") and name != "meta.json":
+                out.append(json.loads(self.fs.read_bytes(f"{self.dir}/{name}")))
         return out
 
     def as_dataframe(self) -> DataFrame:

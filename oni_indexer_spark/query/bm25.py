@@ -226,13 +226,15 @@ class Searcher:
     round-trips; it only wins when the candidate postings are large, so
     ``prune='auto'`` prunes only when Σ df(term) exceeds this.
 
-    IMMUTABILITY ASSUMPTION: the cached stats/df describe the tables AT
-    CONSTRUCTION. Index segments are append-only (build/append never
-    rewrite rows), and appends produce a NEW IndexTables via read_index —
-    so a Searcher over the old tables object stays self-consistent. If a
-    caller re-queries the same tables object after appending to its
-    backing path, call :meth:`invalidate` (append_to_index calls the
-    module-level :func:`invalidate_searchers` hook for exactly this).
+    STALENESS: the cached stats/df describe the tables at construction.
+    In-process mutators (append_to_index / overwrite_docs) call the
+    module-level :func:`invalidate_searchers` hook; for OUT-OF-PROCESS
+    writers (another driver appending to the same path — invisible to
+    this registry) every :meth:`topk` first compares the index's
+    ``_lineage`` directory listing (name/mtime/size per record — every
+    mutator commits a new lineage record) against the listing memoized
+    with the caches, and self-invalidates on any change (r3 VERDICT #5).
+    One FileSystem.listStatus per query — driver-side, ~ms.
     """
 
     def __init__(self, tables: IndexTables, prune_cost_threshold: int = 200_000):
@@ -240,6 +242,36 @@ class Searcher:
         self.prune_cost_threshold = prune_cost_threshold
         self._stats: tuple[int, float] | None = None
         self._df_cache: dict[str, int] = {}
+        self._lineage_sig: tuple | None = None
+
+    def _lineage_signature(self) -> tuple | None:
+        if self.tables.path is None:
+            return None
+        from oni_indexer_spark.fsio import Fs
+
+        fs = Fs(self.tables.path, self.tables.stats.sparkSession)
+        return tuple(
+            sorted(fs.list_status(self.tables.path.rstrip("/") + "/_lineage"))
+        )
+
+    def _check_external_staleness(self) -> None:
+        if self.tables.path is None:
+            return
+        sig = self._lineage_signature()
+        if self._lineage_sig is None:
+            self._lineage_sig = sig
+        elif sig != self._lineage_sig:
+            # drop memoized stats/df AND re-open the tables: the old
+            # DataFrames pin the file listing captured at read time, so
+            # an out-of-process append would otherwise serve stale
+            # postings/stats even after the cache flush
+            from oni_indexer_spark.index.build import read_index
+
+            self.invalidate()
+            self.tables = read_index(
+                self.tables.stats.sparkSession, self.tables.path
+            )
+            self._lineage_sig = sig
 
     def invalidate(self) -> None:
         """Drop memoized corpus stats / term dfs AND refresh Spark's
@@ -295,6 +327,7 @@ class Searcher:
         (C9). ``prune``: True / False / 'auto' (cost-based)."""
         import math
 
+        self._check_external_staleness()
         tables = self.tables
         terms = query_terms(query, tables.cfg.analyzer)
         if not terms:

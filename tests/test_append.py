@@ -87,3 +87,21 @@ def test_streamed_index_matches_batch_rebuild(spark, docs, split_docs, tmp_path)
     full = build_index(docs, CFG)
     for qq in QUERIES:
         assert _rows(topk(streamed, qq, k=10)) == _rows(topk(full, qq, k=10)), qq
+
+
+def test_external_append_invalidates_stale_searcher(spark, docs, split_docs):
+    """r3 VERDICT #5: a Searcher NOT reachable by invalidate_searchers
+    (simulating another process's handle) must detect an append through
+    the lineage-listing staleness guard and serve post-append-exact
+    scores without any manual invalidate()."""
+    from oni_indexer_spark.query.bm25 import Searcher
+
+    a, b, c = split_docs
+    p = tempfile.mkdtemp(prefix="staleidx_") + "/idx"
+    build_to_path(a, p, CFG, bucket_group_size=8)
+    s = Searcher(read_index(spark, p))  # direct: NOT in the module registry
+    _ = _rows(s.topk("the scan", k=10))  # memoize stats/df + lineage sig
+    append_to_index(b, p)  # "external" writer: s's caches are now stale
+    append_to_index(c, p)
+    expect = _rows(topk(build_index(docs, CFG), "the scan", k=10))
+    assert _rows(s.topk("the scan", k=10)) == expect
