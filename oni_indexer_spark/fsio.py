@@ -42,6 +42,15 @@ class Fs:
         self._jvm = s._jvm
         conf = s._jsc.hadoopConfiguration()
         self._fs = self._jvm.org.apache.hadoop.fs.Path(base_path).getFileSystem(conf)
+        # No client-side .crc sidecars (LocalFileSystem wraps a
+        # ChecksumFileSystem; HDFS ignores these calls): the records here
+        # are tiny atomically-replaced JSON, and sidecars break reads
+        # after any out-of-band edit by a non-Hadoop writer.
+        try:
+            self._fs.setWriteChecksum(False)
+            self._fs.setVerifyChecksum(False)
+        except Exception:
+            pass  # not every FileSystem implements the checksum toggles
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)

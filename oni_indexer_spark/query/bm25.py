@@ -10,14 +10,19 @@ filters (Solr ``fq``) compose as metadata predicates.
 
 Physical shape of a query (see ``.explain`` audit in tests/bench):
 
-  scan postings WHERE bucket IN (term buckets) AND term IN (terms)
-      [directory-partition pruning + parquet row-group stats on term]
+  scan postings WHERE bucket IN (term buckets) AND tid IN (tids)
+      [directory-partition pruning + parquet row-group stats on tid]
   → [block-max prune: drop (term, block) rows that cannot reach the
-     current top-k threshold — lossless, tests/test_wand.py]
-  → decode varint blobs (Arrow pandas UDF) → posexplode to (doc, tf, dl)
-  → BM25 column expression (whole-stage codegen; dl travels inside the
-    posting so there is NO doclen join at query time)
-  → hash-agg sum by doc_id (one small shuffle) → TakeOrdered(k).
+     pass-1 threshold τ — lossless, tests/test_wand.py]
+  → single term: decode+score+candidate-select in one numpy pass, no
+    shuffle at all (per-posting score IS the per-doc score)
+  → multi term: repartition the COMPRESSED block rows by block_id (the
+    only shuffle — doc-range blocks are global, so every term's postings
+    for a doc share one block_id), then one numpy pass per co-located
+    group decodes, scatter-adds exact per-doc totals, applies AND/τ
+    bounds and per-batch conservative top-k selection — no decoded-row
+    shuffle, no JVM hash aggregate
+  → TakeOrdered(k).
 """
 
 from __future__ import annotations
@@ -127,6 +132,127 @@ def _make_decode_score_topk_arrow(
     return _decode
 
 
+def _make_decode_score_group_arrow(
+    block_size: int,
+    idf_by_tid: dict[int, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    n_terms_and: int | None,
+    k: int | None,
+    floor: float | None,
+):
+    """Multi-term scorer factory: rows are (tid, block_id, block_min_dl,
+    blob), hash-partitioned by block_id and sorted by block_id within the
+    partition, so ALL query terms' postings for a given doc-range block
+    arrive together (doc-range blocks are global across terms — a doc's
+    block_id is doc_id // block_size for every term). One numpy pass per
+    batch of complete blocks:
+
+      decode blobs → per-posting BM25 contribution → scatter-add into a
+      dense (block-group × block_size) score grid → per-doc EXACT totals
+      + term-hit counts, entirely inside the Python worker.
+
+    This replaces the decoded-row shuffle + JVM hash aggregate of the
+    legacy path: the only shuffle is of the COMPRESSED block rows
+    (~2-4 B/posting vs ~16 B/posting partial-aggregated), and per-batch
+    candidate selection means a hot term's postings never leave the
+    worker (same trick as the single-term fast path, r3 VERDICT #2).
+
+    ``n_terms_and``: when set, keep only docs hit by exactly that many
+    terms (AND mode; (tid, doc) is unique so hits == terms matched).
+    ``k``: per-batch conservative top-k selection — every doc with
+    score >= round(kth_batch_score, 6) - 1e-6 survives; the batch kth is
+    <= the global kth, so any dropped doc rounds strictly below the
+    global kth and cannot enter the final top-k even via the doc_id
+    tie-break (same rounding-grid guard as the block pruner).
+    ``floor``: a PASS-1 τ (pruned path) — docs with total <
+    round(τ,6)-1e-6 are dropped for the same reason (τ <= true kth).
+    Blocks split across Arrow batches are carried over so a doc's total
+    is never computed partially.
+    """
+
+    def _decode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from oni_indexer_spark.index.codec import decode_postings_flat
+
+        guard = None if floor is None else (round(floor, 6) - 1e-6)
+
+        def process(tb):
+            idx = {n: i for i, n in enumerate(tb.schema.names)}
+            blobs = tb.column(idx["blob"]).to_pylist()
+            if not blobs:
+                return None
+            tids = tb.column(idx["tid"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            blk = tb.column(idx["block_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            base_docs = blk * block_size
+            base_dls = (
+                tb.column(idx["block_min_dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            doc_ids, tfs, dls, counts = decode_postings_flat(blobs, base_docs, base_dls)
+            idf_row = np.array([idf_by_tid[int(t)] for t in tids], dtype=np.float64)
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            s = np.repeat(idf_row, counts) * (
+                (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+            # dense (group, in-block offset) slots; rows sorted by block_id
+            new_grp = np.concatenate(([True], blk[1:] != blk[:-1]))
+            grp_of_row = np.cumsum(new_grp) - 1
+            n_grp = int(grp_of_row[-1]) + 1
+            grp_base = base_docs[new_grp]
+            grp_rep = np.repeat(grp_of_row, counts)
+            slot = grp_rep * block_size + (doc_ids - grp_base[grp_rep])
+            tot = np.zeros(n_grp * block_size, dtype=np.float64)
+            np.add.at(tot, slot, s)
+            hits = np.zeros(n_grp * block_size, dtype=np.int32)
+            np.add.at(hits, slot, 1)
+            mask = (hits == n_terms_and) if n_terms_and is not None else (hits > 0)
+            sel = np.nonzero(mask)[0]
+            out_docs = grp_base[sel // block_size] + (sel % block_size)
+            out_s = tot[sel]
+            if guard is not None and out_s.size:
+                keep = out_s >= guard
+                out_docs, out_s = out_docs[keep], out_s[keep]
+            if k is not None and out_s.size > k:
+                kth = np.partition(out_s, out_s.size - k)[out_s.size - k]
+                keep = out_s >= (np.round(kth, 6) - 1e-6)
+                out_docs, out_s = out_docs[keep], out_s[keep]
+            if out_s.size == 0:
+                return None
+            return pa.RecordBatch.from_arrays(
+                [pa.array(out_docs, type=pa.int64()), pa.array(out_s, type=pa.float64())],
+                names=["doc_id", "score"],
+            )
+
+        carry: pa.RecordBatch | None = None
+        for bt in batches:
+            if carry is not None:
+                bt = pa.Table.from_batches([carry, bt]).combine_chunks().to_batches()[0]
+                carry = None
+            n = len(bt)
+            if n == 0:
+                continue
+            idx = {nm: i for i, nm in enumerate(bt.schema.names)}
+            blk = bt.column(idx["block_id"]).to_numpy(zero_copy_only=False)
+            # hold back the trailing block group: it may continue in the
+            # next batch of this partition
+            last_start = int(np.searchsorted(blk, blk[n - 1], side="left"))
+            carry = bt.slice(last_start)
+            if last_start > 0:
+                out = process(bt.slice(0, last_start))
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry) > 0:
+            out = process(carry)
+            if out is not None:
+                yield out
+
+    return _decode
+
+
 def _decoded(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
     """(tid, doc_id, tf, dl) rows from (possibly compressed) block rows."""
     if cfg.compress:
@@ -161,11 +287,13 @@ def _scores(
     mode: str,
     fq: dict[str, str] | None,
     k: int | None = None,
+    floor: float | None = None,
 ) -> DataFrame:
     """Exact (doc_id, score) for every doc present in the postings subset.
     ``idf`` is keyed by tid (the postings key). ``k`` (when given)
-    enables the single-term fast path's per-batch candidate selection —
-    it must be the query's final top-k."""
+    enables per-batch conservative candidate selection — it must be the
+    query's final top-k. ``floor`` is the pruned path's pass-1 τ (docs
+    provably below it round under the kth score and may be dropped)."""
     cfg = tables.cfg
     if len(idf) == 1 and fq is None and cfg.compress and k is not None:
         # single-term fast path: per-posting score IS the per-doc score;
@@ -181,6 +309,37 @@ def _scores(
             ),
             "doc_id long, score double",
         )
+    if cfg.compress and len(idf) > 1:
+        # multi-term block-aligned path: ONE shuffle of the compressed
+        # block rows co-locates every term's postings per doc-range
+        # block; exact per-doc totals + AND/τ/top-k selection happen in
+        # numpy inside the worker (no decoded-row shuffle, no JVM agg).
+        co = (
+            postings_subset.select("tid", "block_id", "block_min_dl", "blob")
+            .repartition(F.col("block_id"))
+            .sortWithinPartitions("block_id")
+        )
+        scored = co.mapInArrow(
+            _make_decode_score_group_arrow(
+                cfg.block_size,
+                {int(t): float(v) for t, v in idf.items()},
+                float(avgdl),
+                cfg.k1,
+                cfg.b,
+                len(idf) if mode == "and" else None,
+                # fq filters AFTER scoring: a selected candidate set could
+                # lose its top rows to the filter, so emit all doc totals
+                k if fq is None else None,
+                floor,
+            ),
+            "doc_id long, score double",
+        )
+        if fq:
+            keep = tables.doclen
+            for c, v in fq.items():
+                keep = keep.where(F.col(c) == v)
+            scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
+        return scored
     rows = _decoded(postings_subset, cfg)
     idf_map = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
     per_term = rows.withColumn(
@@ -351,9 +510,12 @@ class Searcher:
         )
         if prune == "auto":
             prune = sum(dfs.values()) > self.prune_cost_threshold
+        floor = None
         if prune and mode == "or" and fq is None:
-            p = _blockmax_prune(p, tables, idf, avgdl, k)
-        return _ranked(_scores(p, tables, idf, avgdl, mode, fq, k=k), k)
+            p, floor = _blockmax_prune(p, tables, idf, avgdl, k)
+        return _ranked(
+            _scores(p, tables, idf, avgdl, mode, fq, k=k, floor=floor), k
+        )
 
 
 # Module-level convenience: one cached Searcher per IndexTables instance,
@@ -409,9 +571,11 @@ def _blockmax_prune(
     idf: dict[int, float],
     avgdl: float,
     k: int,
-) -> DataFrame:
+) -> tuple[DataFrame, float | None]:
     """Lossless block-max pruning (the Spark-native analogue of Lucene's
-    block-max WAND, SURVEY.md §4.2.3).
+    block-max WAND, SURVEY.md §4.2.3). Returns (pruned postings, τ) —
+    τ is None when no threshold could be established (fewer than k
+    candidate docs) and nothing was pruned.
 
     Blocks are global doc-ranges, so a doc's total score is bounded by
     Σ_t idf_t · tfn(block_max_tf, block_min_dl) — BM25 saturation is
@@ -419,16 +583,17 @@ def _blockmax_prune(
     block's max tf / min dl under the current avgdl upper-bounds every
     posting in the block (and stays valid across appended segments).
     Pass 1 scores just enough highest-bound blocks to get a candidate
-    kth score τ; the final pass keeps only blocks whose bound ≥ τ. Any
-    dropped doc scores < τ ≤ true kth score, so the top-k is unchanged
-    (tests/test_wand.py).
+    kth score τ (one 1-row collect — a scalar at any scale); the final
+    pass keeps only blocks whose bound ≥ τ, and τ also rides into the
+    scorer as a per-DOC floor (multi-term path), cutting the candidate
+    rows that leave the worker. Any dropped doc scores < τ ≤ true kth
+    score, so the top-k is unchanged (tests/test_wand.py).
 
-    Scale shape (no driver collects, no unpartitioned window): the τ
-    candidate set is the top-k blocks by bound — a TakeOrderedAndProject
-    (every block holds ≥1 posting, so k blocks always cover ≥ k docs) —
-    and τ enters the keep-filter as a broadcast 1-row scalar. At 10^12
-    docs a hot term has ~10^10 blocks; all stages here are partial-agg +
-    TakeOrdered, nothing funnels through one task.
+    Scale shape: the τ candidate set is the top-k blocks by bound — a
+    TakeOrderedAndProject (every block holds ≥1 posting, so k blocks
+    always cover ≥ k docs). At 10^12 docs a hot term has ~10^10 blocks;
+    all stages here are partial-agg + TakeOrdered + a 1-row aggregate
+    collect, nothing funnels through one task.
 
     Rounding guard: final ranking orders by (round(score,6), doc_id), so
     a pruned doc whose raw score rounds INTO a tie with the kth score
@@ -450,19 +615,17 @@ def _blockmax_prune(
         p.join(F.broadcast(cand_blocks), "block_id", "left_semi"),
         tables, idf, avgdl, "or", None, k=k,
     )
-    # τ = kth candidate score, as a broadcastable 1-row frame (nk < k
-    # means no threshold could be established: keep everything).
-    tau_df = (
+    row = (
         cand_scores.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .agg(F.count(F.lit(1)).alias("nk"), F.min("score").alias("tau"))
+        .collect()[0]
     )
-    keep = (
-        bounds.join(F.broadcast(tau_df))
-        .where((F.col("nk") < k) | (F.col("ub") >= F.round(F.col("tau"), 6) - 1e-6))
-        .select("block_id")
-    )
-    return p.join(F.broadcast(keep), "block_id", "left_semi")
+    if int(row["nk"]) < k or row["tau"] is None:
+        return p, None
+    tau = float(row["tau"])
+    keep = bounds.where(F.col("ub") >= round(tau, 6) - 1e-6).select("block_id")
+    return p.join(F.broadcast(keep), "block_id", "left_semi"), tau
 
 
 def topk_direct(

@@ -51,11 +51,16 @@ def main() -> None:
 
     tables = read_index(spark, path)
     topk(tables, "warmup scan", k=5).collect()
-    qtimes: dict[str, float] = {}
-    for name, q, k, mode, fq in QUERY_SET:
-        t0 = time.time()
-        topk(tables, q, k=k, mode=mode, fq=fq).collect()
-        qtimes[name] = round(time.time() - t0, 4)
+    # interleaved median-of-3 per query (same noise protocol as bench.py)
+    import statistics
+
+    samples: dict[str, list[float]] = {name: [] for name, *_ in QUERY_SET}
+    for _ in range(3):
+        for name, q, k, mode, fq in QUERY_SET:
+            t0 = time.time()
+            topk(tables, q, k=k, mode=mode, fq=fq).collect()
+            samples[name].append(time.time() - t0)
+    qtimes = {name: round(statistics.median(s), 4) for name, s in samples.items()}
     lat = sorted(qtimes.values())
     p95 = lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)]
 

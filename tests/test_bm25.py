@@ -98,3 +98,23 @@ def test_index_invariants(docs, tables):
     )
     bad = joined.where(F.col("a.content_sha256") != F.col("b.sha")).count()
     assert bad == 0
+
+
+def test_blockaligned_carry_across_tiny_arrow_batches(spark, docs):
+    """The multi-term scorer must never split a block across Arrow
+    batches (a doc's total would be computed partially). Force 2-row
+    batches so every multi-term block straddles a boundary and exercise
+    the carry logic end to end."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    spark.conf.set(key, "2")
+    try:
+        t = build_index(docs, IndexConfig(block_size=16, n_buckets=4))
+        a = _rows(topk(t, "the scan join", k=25, prune=False))
+        b = _rows(topk_direct(docs, "the scan join", k=25))
+        assert a == b
+        a2 = _rows(topk(t, "hash join", k=10, mode="and"))
+        b2 = _rows(topk_direct(docs, "hash join", k=10, mode="and"))
+        assert a2 == b2
+    finally:
+        spark.conf.set(key, old)

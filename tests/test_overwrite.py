@@ -132,7 +132,7 @@ def test_crash_mid_swap_replay_idempotent(spark):
     import json
     import shutil
 
-    from oni_indexer_spark.index.build import _apply_swap
+    from oni_indexer_spark.index.build import _apply_swap, _fs_for
 
     base = tempfile.mkdtemp(prefix="ovr_crash2_")
     p = f"{base}/idx"
@@ -148,7 +148,7 @@ def test_crash_mid_swap_replay_idempotent(spark):
     staged_rel, live_rel = m["moves"][0]
     shutil.rmtree(os.path.join(p, live_rel), ignore_errors=True)
     os.rename(os.path.join(p, staged_rel), os.path.join(p, live_rel))
-    _apply_swap(p)  # replay the whole manifest
+    _apply_swap(p, _fs_for(p, spark))  # replay the whole manifest
     disk = read_index(spark, p)
     fresh = build_index(_corpus(spark, marker="crash_mark2"), CFG)
     for q in ["crash_mark2", "gamma crash_mark2", "alpha"]:

@@ -42,7 +42,13 @@ def test_query_plan_shape(disk_index):
     assert "ReadSchema: struct<tid:bigint,block_id:bigint,block_min_dl:int,blob:binary>" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    assert plan.count("Exchange") == 1  # only the doc_id score aggregation
+    # block-aligned multi-term path: the ONLY exchange is the repartition
+    # of the COMPRESSED block rows by block_id; per-doc totals are
+    # scatter-added inside the Arrow worker, so there is NO JVM hash
+    # aggregate and no decoded-row shuffle at all
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" not in plan
+    assert "MapInArrow" in plan
 
 
 def test_build_pushes_column_pruning(spark, docs):

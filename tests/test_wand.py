@@ -69,7 +69,9 @@ def test_prune_actually_prunes(spark):
     idf = {tid: idf["needle"]}
     p = t.postings.where(F.col("bucket").isin(buckets) & (F.col("tid") == tid))
     total = p.count()
-    pruned = _blockmax_prune(p, t, idf, avgdl, 1).count()
+    pruned_p, tau = _blockmax_prune(p, t, idf, avgdl, 1)
+    assert tau is not None  # a threshold was established
+    pruned = pruned_p.count()
     assert pruned < total
     # and the pruned result is still exact
     from oni_indexer_spark.query import topk
