@@ -314,9 +314,17 @@ def _scores(
         # block rows co-locates every term's postings per doc-range
         # block; exact per-doc totals + AND/τ/top-k selection happen in
         # numpy inside the worker (no decoded-row shuffle, no JVM agg).
+        # EXPLICIT partition count: repartition(col) alone is an
+        # AQE-coalescible shuffle, and the blob shuffle is only a few MB
+        # per query — AQE would collapse it to ~1 post-shuffle partition
+        # and serialize the decode (measured at 1M docs: 3-4-term
+        # latency went linear in decoded volume). Pinning the count
+        # keeps the numpy decode spread across the cores.
+        spark = postings_subset.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         co = (
             postings_subset.select("tid", "block_id", "block_min_dl", "blob")
-            .repartition(F.col("block_id"))
+            .repartition(nparts, F.col("block_id"))
             .sortWithinPartitions("block_id")
         )
         scored = co.mapInArrow(
