@@ -277,6 +277,12 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_content_docs(spark, sf_dir))
 
 
+def _q_repetition(spark, sf_dir):
+    from oni_indexer_spark.ops.text import repetition_score
+
+    return repetition_score(_content_docs(spark, sf_dir))
+
+
 def _q_minhash(spark, sf_dir):
     from oni_indexer_spark.ops.dedup import minhash_signatures
 
@@ -739,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_k100": _q_bm25("the scan", k=100),
         "facet_repo": _q_facet_repo,
         "etl_validate_date": _q_etl_validate_date,
+        "text_repetition": _q_repetition,
     }
 
 
@@ -797,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _ops_text.quality_score_sql(),
         "text_fingerprint": _ops_text.fingerprint_sql(),
         "text_subword_count": _ops_text.subword_count_sql(),
+        "text_repetition": _ops_text.repetition_score_sql(),
         "dedup_minhash_sig": _ops_dedup.minhash_signatures_sql(n_hashes=8),
         "dedup_simhash": _ops_dedup.simhash_sql(bits=16),
         "dedup_ngram_jaccard": _ops_dedup.jaccard_pairs_sql(n=3, threshold=0.2),

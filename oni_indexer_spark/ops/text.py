@@ -218,3 +218,64 @@ SELECT doc_id,
   ) AS fingerprint
 FROM {table}
 """.strip()
+
+
+def repetition_score(docs: DataFrame) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    quality gate: excessively self-repeating documents are low-value
+    training data — Rae et al. 2021, public): distinct-token fraction and
+    duplicate-trigram fraction, plus the standard flag (dup-trigram
+    ratio > 0.3 or distinct-token ratio < 0.3). Pure column expressions —
+    whole-stage codegen, no shuffle, scan-parallel at any corpus size."""
+    toks = tokens_col("content")
+    n = F.size(toks)
+    uniq_frac = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(
+        F.lit(1.0)
+    )
+    # trigram branch only evaluates when n >= 3 (CASE short-circuits):
+    # sequence(1, n-2) would run DESCENDING for n < 3 and element_at
+    # would hit index 0 under ANSI
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + F.lit(1)),
+            F.element_at(toks, i + F.lit(2)),
+        ),
+    )
+    dup_tri = F.when(
+        n >= 3, 1.0 - F.size(F.array_distinct(tri)) / (n - 2)
+    ).otherwise(F.lit(0.0))
+    uniq_r = F.round(uniq_frac, 6)
+    dup_r = F.round(dup_tri, 6)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        uniq_r.alias("distinct_token_ratio"),
+        dup_r.alias("dup_trigram_ratio"),
+        ((dup_r > 0.3) | (uniq_r < 0.3)).alias("is_repetitive"),
+    )
+
+
+def repetition_score_sql(table: str = "documents", text: str = "text") -> str:
+    toks = duckdb_tokens_sql(text)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+    CASE WHEN len(toks) > 0
+         THEN len(list_distinct(toks))::double / len(toks) ELSE 1.0 END AS uniq_frac,
+    CASE WHEN len(toks) >= 3
+         THEN 1.0 - len(list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::double
+              / (len(toks) - 2)
+         ELSE 0.0 END AS dup_tri
+  FROM t
+)
+SELECT doc_id, n::bigint AS n_tokens,
+  round(uniq_frac, 6) AS distinct_token_ratio,
+  round(dup_tri, 6) AS dup_trigram_ratio,
+  (round(dup_tri, 6) > 0.3 OR round(uniq_frac, 6) < 0.3) AS is_repetitive
+FROM m
+""".strip()

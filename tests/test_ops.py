@@ -76,6 +76,25 @@ def test_fingerprint_detects_identical_sequences(spark):
     assert rows[1] != rows[3]
 
 
+def test_repetition_score(driver_docs, con):
+    _cmp(text.repetition_score(driver_docs), con, text.repetition_score_sql())
+
+
+def test_repetition_flags_selfcopy(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " * 30),          # 3 distinct trigrams repeated
+            (2, " ".join(f"w{i}" for i in range(90))),  # all distinct
+            (3, "a b"),                               # too short for trigrams
+        ],
+        "doc_id long, content string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_score(df).collect()}
+    assert rows[1]["is_repetitive"] and rows[1]["dup_trigram_ratio"] > 0.9
+    assert not rows[2]["is_repetitive"] and rows[2]["dup_trigram_ratio"] == 0.0
+    assert rows[3]["dup_trigram_ratio"] == 0.0 and not rows[3]["is_repetitive"]
+
+
 def test_minhash_signatures(driver_docs, con):
     _cmp(
         dedup.minhash_signatures(driver_docs, n_hashes=6),
