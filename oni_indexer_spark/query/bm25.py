@@ -279,6 +279,14 @@ def _empty_result(tables: IndexTables) -> DataFrame:
     )
 
 
+# A single-term query whose posting list is at least this long decodes
+# faster through the block-repartition path (32-way decode) than through
+# the zero-shuffle scan-side path (decode parallelism = scan splits of
+# one bucket). Measured at 1M docs: df≈1M term 1.9s scan-side vs 0.8s
+# for 2M postings repartitioned.
+SINGLE_TERM_REPARTITION_MIN_POSTINGS = 200_000
+
+
 def _scores(
     postings_subset: DataFrame,
     tables: IndexTables,
@@ -288,18 +296,29 @@ def _scores(
     fq: dict[str, str] | None,
     k: int | None = None,
     floor: float | None = None,
+    est_postings: int | None = None,
+    nparts: int | None = None,
 ) -> DataFrame:
     """Exact (doc_id, score) for every doc present in the postings subset.
     ``idf`` is keyed by tid (the postings key). ``k`` (when given)
     enables per-batch conservative candidate selection — it must be the
     query's final top-k. ``floor`` is the pruned path's pass-1 τ (docs
-    provably below it round under the kth score and may be dropped)."""
+    provably below it round under the kth score and may be dropped).
+    ``est_postings`` (Σ df, known driver-side for free) routes large
+    single-term queries through the repartition path; ``nparts``
+    overrides the repartition width (the pruner's tiny candidate sets
+    don't need the full fan-out)."""
     cfg = tables.cfg
-    if len(idf) == 1 and fq is None and cfg.compress and k is not None:
+    single_small = len(idf) == 1 and (
+        est_postings is None or est_postings < SINGLE_TERM_REPARTITION_MIN_POSTINGS
+    )
+    if single_small and fq is None and cfg.compress and k is not None:
         # single-term fast path: per-posting score IS the per-doc score;
-        # decode+score+candidate-select in one numpy pass, no aggregate.
-        # (fq needs the full score set — filtered docs could pull
-        # sub-candidate rows into the top-k — so it takes the slow path.)
+        # decode+score+candidate-select in one numpy pass, no shuffle,
+        # no aggregate. (fq needs the full score set — filtered docs
+        # could pull sub-candidate rows into the top-k — so it takes the
+        # slow path; terms over the repartition threshold take the
+        # block-aligned path below for decode parallelism.)
         (idf_val,) = idf.values()
         return postings_subset.select(
             "block_id", "block_min_dl", "blob"
@@ -309,7 +328,7 @@ def _scores(
             ),
             "doc_id long, score double",
         )
-    if cfg.compress and len(idf) > 1:
+    if cfg.compress and (len(idf) > 1 or (len(idf) == 1 and not single_small)):
         # multi-term block-aligned path: ONE shuffle of the compressed
         # block rows co-locates every term's postings per doc-range
         # block; exact per-doc totals + AND/τ/top-k selection happen in
@@ -321,7 +340,8 @@ def _scores(
         # latency went linear in decoded volume). Pinning the count
         # keeps the numpy decode spread across the cores.
         spark = postings_subset.sparkSession
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        if nparts is None:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         co = (
             postings_subset.select("tid", "block_id", "block_min_dl", "blob")
             .repartition(nparts, F.col("block_id"))
@@ -389,9 +409,12 @@ class Searcher:
     term→df lookups so a query costs 1 Spark job on the fast path (dfreq
     probe is memoized per term; scoring+top-k is one action).
 
-    ``prune_cost_threshold``: block-max pruning pays 3 extra driver
-    round-trips; it only wins when the candidate postings are large, so
-    ``prune='auto'`` prunes only when Σ df(term) exceeds this.
+    ``prune_cost_threshold``: block-max pruning pays a pass-1 job (~0.5-1s
+    fixed on the measured host); the 32-way block-aligned decode runs
+    ~2-3M postings/sec, so pruning only wins once it can SKIP several
+    million postings. ``prune='auto'`` therefore prunes only when
+    Σ df(term) exceeds this (default 3M — at the 10^12-doc north-star
+    scale every stop-word-bearing query clears it immediately).
 
     STALENESS: the cached stats/df describe the tables at construction.
     In-process mutators (append_to_index / overwrite_docs) call the
@@ -404,7 +427,7 @@ class Searcher:
     One FileSystem.listStatus per query — driver-side, ~ms.
     """
 
-    def __init__(self, tables: IndexTables, prune_cost_threshold: int = 200_000):
+    def __init__(self, tables: IndexTables, prune_cost_threshold: int = 3_000_000):
         self.tables = tables
         self.prune_cost_threshold = prune_cost_threshold
         self._stats: tuple[int, float] | None = None
@@ -516,13 +539,17 @@ class Searcher:
         p = tables.postings.where(
             F.col("bucket").isin(buckets) & F.col("tid").isin(list(idf))
         )
+        est = sum(dfs.values())
         if prune == "auto":
-            prune = sum(dfs.values()) > self.prune_cost_threshold
+            prune = est > self.prune_cost_threshold
         floor = None
         if prune and mode == "or" and fq is None:
             p, floor = _blockmax_prune(p, tables, idf, avgdl, k)
         return _ranked(
-            _scores(p, tables, idf, avgdl, mode, fq, k=k, floor=floor), k
+            _scores(
+                p, tables, idf, avgdl, mode, fq, k=k, floor=floor, est_postings=est
+            ),
+            k,
         )
 
 
@@ -619,20 +646,33 @@ def _blockmax_prune(
         .agg(F.sum("ub1").alias("ub"))
     )
     cand_blocks = bounds.orderBy(F.desc("ub"), F.asc("block_id")).limit(k).select("block_id")
+    # candidate set is <= k blocks — a handful of rows; a narrow
+    # repartition avoids paying the full python-worker fan-out for it
     cand_scores = _scores(
         p.join(F.broadcast(cand_blocks), "block_id", "left_semi"),
-        tables, idf, avgdl, "or", None, k=k,
+        tables, idf, avgdl, "or", None, k=k, nparts=4,
     )
-    row = (
+    # ONE pass-1 action: τ (kth candidate score) and the global min block
+    # bound ride in the same 1x1 crossJoin — two 1-row aggregates, one
+    # job (each extra driver round-trip costs ~0.5s of fixed scheduling
+    # on the measured host, the dominant term of pass-1).
+    tau_agg = (
         cand_scores.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .agg(F.count(F.lit(1)).alias("nk"), F.min("score").alias("tau"))
-        .collect()[0]
     )
+    row = tau_agg.crossJoin(bounds.agg(F.min("ub").alias("mn"))).collect()[0]
     if int(row["nk"]) < k or row["tau"] is None:
         return p, None
     tau = float(row["tau"])
-    keep = bounds.where(F.col("ub") >= round(tau, 6) - 1e-6).select("block_id")
+    guard = round(tau, 6) - 1e-6
+    # Tie-heavy corpora (every block bound ~equal — the uniform synthetic
+    # corpus, stop-word-only queries) would keep EVERY block: the keep
+    # semi-join + its metadata rescan would cost real time and prune
+    # nothing; τ still rides into the scorer as the per-doc floor.
+    if row["mn"] is not None and float(row["mn"]) >= guard:
+        return p, tau  # no block falls below τ — floor-only pruning
+    keep = bounds.where(F.col("ub") >= guard).select("block_id")
     return p.join(F.broadcast(keep), "block_id", "left_semi"), tau
 
 
