@@ -283,6 +283,12 @@ def _q_repetition(spark, sf_dir):
     return repetition_score(_content_docs(spark, sf_dir))
 
 
+def _q_pii(spark, sf_dir):
+    from oni_indexer_spark.ops.text import pii_counts
+
+    return pii_counts(_content_docs(spark, sf_dir))
+
+
 def _q_minhash(spark, sf_dir):
     from oni_indexer_spark.ops.dedup import minhash_signatures
 
@@ -746,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_repo": _q_facet_repo,
         "etl_validate_date": _q_etl_validate_date,
         "text_repetition": _q_repetition,
+        "text_pii_counts": _q_pii,
     }
 
 
@@ -805,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _ops_text.fingerprint_sql(),
         "text_subword_count": _ops_text.subword_count_sql(),
         "text_repetition": _ops_text.repetition_score_sql(),
+        "text_pii_counts": _ops_text.pii_counts_sql(),
         "dedup_minhash_sig": _ops_dedup.minhash_signatures_sql(n_hashes=8),
         "dedup_simhash": _ops_dedup.simhash_sql(bits=16),
         "dedup_ngram_jaccard": _ops_dedup.jaccard_pairs_sql(n=3, threshold=0.2),

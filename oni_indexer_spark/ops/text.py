@@ -279,3 +279,47 @@ SELECT doc_id, n::bigint AS n_tokens,
   (round(dup_tri, 6) > 0.3 OR round(uniq_frac, 6) < 0.3) AS is_repetitive
 FROM m
 """.strip()
+
+
+# PII-ish patterns a training pipeline counts per document before
+# filtering/redaction (public C4/Dolma-style preprocessing stage). The
+# same regex strings run in Spark and DuckDB (both RE2-ish dialects for
+# this subset), so the oracle is exact.
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phones": r"\b\+?[0-9][0-9()\-. ]{7,}[0-9]\b",
+    "urls": r"https?://[^\s]+",
+}
+
+
+def pii_counts(docs: DataFrame) -> DataFrame:
+    """Per-document counts of PII-shaped spans (emails, IPv4s, phone-like
+    digit runs, URLs) + the any-hit flag a filtering stage keys on. Pure
+    column expressions — codegen, scan-parallel, no shuffle."""
+    cols = {
+        name: F.size(F.regexp_extract_all(F.col("content"), F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for name in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(F.col("content"), F.lit(PII_PATTERNS[name]), 0))
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id", *cols.values(), (total > 0).alias("has_pii")
+    )
+
+
+def pii_counts_sql(table: str = "documents", text: str = "text") -> str:
+    count_exprs = ", ".join(
+        f"len(regexp_extract_all({text}, '{pat}'))::bigint AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+WITH c AS (SELECT doc_id, {count_exprs} FROM {table})
+SELECT doc_id, {", ".join(f"n_{n}" for n in PII_PATTERNS)}, ({total}) > 0 AS has_pii
+FROM c
+""".strip()

@@ -95,6 +95,25 @@ def test_repetition_flags_selfcopy(spark):
     assert rows[3]["dup_trigram_ratio"] == 0.0 and not rows[3]["is_repetitive"]
 
 
+def test_pii_counts(driver_docs, con):
+    _cmp(text.pii_counts(driver_docs), con, text.pii_counts_sql())
+
+
+def test_pii_counts_detects_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact a.user@example.org or 10.0.0.1 via https://x.io/y"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "clean prose with no identifiers at all"),
+        ],
+        "doc_id long, content string",
+    )
+    rows = {r["doc_id"]: r for r in text.pii_counts(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ipv4s"] == 1 and rows[1]["n_urls"] == 1
+    assert rows[2]["n_phones"] == 1 and rows[2]["has_pii"]
+    assert not rows[3]["has_pii"]
+
+
 def test_minhash_signatures(driver_docs, con):
     _cmp(
         dedup.minhash_signatures(driver_docs, n_hashes=6),
