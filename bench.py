@@ -83,17 +83,15 @@ def main() -> None:
             build_secs.append(time.time() - t0)
             if build_secs[-1] == min(build_secs):
                 # per-stage breakdown from the FASTEST build's lineage
-                stages = {}
-                lin_dir = os.path.join(path, "_lineage")
-                for f in sorted(os.listdir(lin_dir)):
-                    if not f.endswith(".json") or f == "meta.json":
-                        continue
-                    with open(os.path.join(lin_dir, f)) as fh:
-                        rec = json.load(fh)
-                    if rec.get("status") == "done" and "finished_at" in rec:
-                        stages[rec["stage"]] = round(
-                            rec["finished_at"] - rec["started_at"], 2
-                        )
+                # (through the same Hadoop-FS lineage reader the engine
+                # uses — no os.listdir side-channel, r4 VERDICT)
+                from oni_indexer_spark.index.lineage import Lineage
+
+                stages = {
+                    rec["stage"]: round(rec["finished_at"] - rec["started_at"], 2)
+                    for rec in Lineage(spark, path).records()
+                    if rec.get("status") == "done" and "finished_at" in rec
+                }
         build_sec = min(build_secs)
         docs_per_sec = n_docs / build_sec
 

@@ -20,6 +20,16 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+# fsio's PRIVATE FileSystem instances, one per (scheme, authority).
+# ``Path.getFileSystem`` returns the JVM-WIDE CACHED instance for the
+# scheme, so toggling checksums on it would disable corruption detection
+# for EVERY reader in the application (parquet footers included) — the
+# r4 ADVICE finding. ``FileSystem.newInstance`` gives fsio its own
+# handle; it is cached here (not closed per call) because instances hold
+# real resources (HDFS client threads) and fsio traffic is tiny
+# control-plane JSON for the application's whole lifetime.
+_PRIVATE_FS: dict[str, object] = {}
+
 
 def _active_spark(spark: SparkSession | None) -> SparkSession:
     s = spark or SparkSession.getActiveSession()
@@ -31,7 +41,8 @@ def _active_spark(spark: SparkSession | None) -> SparkSession:
 
 
 class Fs:
-    """Thin handle on the Hadoop FileSystem owning ``base_path``'s scheme.
+    """Thin handle on a PRIVATE Hadoop FileSystem for ``base_path``'s
+    scheme (never the JVM-wide cached instance — see ``_PRIVATE_FS``).
 
     One instance per operation-batch (holds JVM refs); all methods accept
     full path strings (same scheme as ``base_path``).
@@ -41,16 +52,23 @@ class Fs:
         s = _active_spark(spark)
         self._jvm = s._jvm
         conf = s._jsc.hadoopConfiguration()
-        self._fs = self._jvm.org.apache.hadoop.fs.Path(base_path).getFileSystem(conf)
-        # No client-side .crc sidecars (LocalFileSystem wraps a
-        # ChecksumFileSystem; HDFS ignores these calls): the records here
-        # are tiny atomically-replaced JSON, and sidecars break reads
-        # after any out-of-band edit by a non-Hadoop writer.
-        try:
-            self._fs.setWriteChecksum(False)
-            self._fs.setVerifyChecksum(False)
-        except Exception:
-            pass  # not every FileSystem implements the checksum toggles
+        uri = self._jvm.org.apache.hadoop.fs.Path(base_path).toUri()
+        key = f"{uri.getScheme()}|{uri.getAuthority()}"
+        fs = _PRIVATE_FS.get(key)
+        if fs is None:
+            # private instance: checksum toggles below affect ONLY fsio
+            fs = self._jvm.org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
+            # No client-side .crc sidecars (LocalFileSystem wraps a
+            # ChecksumFileSystem; HDFS ignores these calls): the records
+            # here are tiny atomically-replaced JSON, and sidecars break
+            # reads after any out-of-band edit by a non-Hadoop writer.
+            try:
+                fs.setWriteChecksum(False)
+                fs.setVerifyChecksum(False)
+            except Exception:
+                pass  # not every FileSystem implements the checksum toggles
+            _PRIVATE_FS[key] = fs
+        self._fs = fs
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)

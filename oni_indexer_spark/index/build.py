@@ -651,6 +651,7 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
     _dfreq_table(tf).write.mode("append").partitionBy("bucket").parquet(f"{path}/dfreq")
     tf.unpersist()
     lin.finish(stage, t0, docs_tokenized=n_docs)
+    lin.bump_generation()
     # searchers memoize N/avgdl/df; the index just grew under them
     from oni_indexer_spark.query.bm25 import invalidate_searchers
 
@@ -809,6 +810,7 @@ def overwrite_docs(
         raise RuntimeError("injected crash: swap manifest written, swap not applied")
     _apply_swap(path, swap_fs)
     lin.finish(stage, t0, docs_tokenized=int(ids_row["n"]), docs_removed=n_removed)
+    lin.bump_generation()
     invalidate_searchers(path)
 
 
@@ -858,13 +860,29 @@ def _write_swap_manifest(path: str, segs: list, n_buckets: int, fs) -> None:
     fs.write_bytes_atomic(_swap_manifest_path(path), json.dumps(man).encode())
 
 
+def _checked_rename(fs, src: str, dst: str) -> None:
+    """Hadoop ``FileSystem.rename`` reports failure by returning false
+    (dst exists, missing parent, transient store error) rather than
+    raising — unlike the os.rename it replaced. A silently failed swap
+    step would fall through to deleting the staged dirs and the manifest,
+    leaving the index unreplayably broken (r4 ADVICE) — so every swap
+    rename raises BEFORE the manifest is removed, keeping the swap
+    replayable."""
+    if not fs.rename(src, dst):
+        raise IOError(f"swap rename failed: {src} -> {dst}")
+
+
 def _apply_swap(path: str, fs) -> None:
     """Apply (or re-apply after a crash) a pending overwrite swap. Every
     step is idempotent: deletes are of dirs that are never recreated;
     each staged dir is renamed at most once (skipped when already moved);
-    staged stats part-files move individually (unique part names);
-    dfreq.next replaces dfreq only while it still exists. The manifest is
-    removed LAST, so any prefix of this function can be replayed."""
+    staged stats part-files move individually (unique part names) —
+    appended by default, or replacing the stats dir when the manifest
+    says ``stats_mode: replace`` (compaction collapses the per-segment
+    rows to one); dfreq.next replaces dfreq only while it still exists.
+    Renames are return-checked (:func:`_checked_rename`), and the
+    manifest is removed LAST, so any prefix of this function can be
+    replayed."""
     mpath = _swap_manifest_path(path)
     if not fs.exists(mpath):
         return
@@ -878,17 +896,24 @@ def _apply_swap(path: str, fs) -> None:
         if fs.is_dir(staged):
             fs.delete(live)
             fs.mkdirs(live.rsplit("/", 1)[0])
-            fs.rename(staged, live)
+            _checked_rename(fs, staged, live)
     stats_next = f"{base}/stats.next"
     if fs.is_dir(stats_next):
-        for name, is_dir, _m, _s in fs.list_status(stats_next):
-            if not is_dir and name.startswith("part-"):
-                fs.rename(f"{stats_next}/{name}", f"{base}/stats/{name}")
-        fs.delete(stats_next)
+        if man.get("stats_mode") == "replace":
+            # whole-dir swap: at-most-once rename, so a replay after a
+            # crash mid-step never deletes already-moved part files
+            fs.delete(f"{base}/stats")
+            _checked_rename(fs, stats_next, f"{base}/stats")
+        else:
+            fs.mkdirs(f"{base}/stats")
+            for name, is_dir, _m, _s in fs.list_status(stats_next):
+                if not is_dir and name.startswith("part-"):
+                    _checked_rename(fs, f"{stats_next}/{name}", f"{base}/stats/{name}")
+            fs.delete(stats_next)
     dfreq_next = f"{base}/dfreq.next"
     if fs.is_dir(dfreq_next):
         fs.delete(f"{base}/dfreq")
-        fs.rename(dfreq_next, f"{base}/dfreq")
+        _checked_rename(fs, dfreq_next, f"{base}/dfreq")
     for leftover in ("postings.next", "doclen.next"):
         fs.delete(f"{base}/{leftover}")
     fs.delete(mpath, recursive=False)

@@ -68,7 +68,35 @@ class Lineage:
         self.fs.write_bytes_atomic(f"{self.dir}/meta.json", json.dumps(meta).encode())
 
     def read_meta(self) -> dict:
-        return json.loads(self.fs.read_bytes(f"{self.dir}/meta.json"))
+        """meta.json is the one fsio record whose loss is NOT harmless
+        (r4 ADVICE: a non-atomic store can lose the target in
+        write_bytes_atomic's delete→rename window, and without meta the
+        whole index is unreadable). Recovery: the content that was about
+        to replace it still sits in the ``.tmp`` sibling — fall back to
+        it when the target is absent."""
+        try:
+            return json.loads(self.fs.read_bytes(f"{self.dir}/meta.json"))
+        except FileNotFoundError:
+            return json.loads(self.fs.read_bytes(f"{self.dir}/meta.json.tmp"))
+
+    def bump_generation(self) -> None:
+        """Write a fresh, globally-unique generation token. Every mutator
+        (append / overwrite / compact) calls this LAST, so the Searcher's
+        out-of-process staleness check can compare file CONTENT instead
+        of the (name, mtime, size) listing — a same-size rewrite within
+        one mtime tick is invisible to the listing (r4 ADVICE) but never
+        to the token."""
+        import uuid
+
+        rec = {"nonce": uuid.uuid4().hex, "at_ns": time.time_ns()}
+        self.fs.write_bytes_atomic(f"{self.dir}/_generation", json.dumps(rec).encode())
+
+    def read_generation(self) -> bytes | None:
+        """Current generation token content (None before any mutation)."""
+        try:
+            return self.fs.read_bytes(f"{self.dir}/_generation")
+        except FileNotFoundError:
+            return None
 
     def records(self) -> list[dict]:
         out = []

@@ -297,19 +297,23 @@ def pii_counts(docs: DataFrame) -> DataFrame:
     """Per-document counts of PII-shaped spans (emails, IPv4s, phone-like
     digit runs, URLs) + the any-hit flag a filtering stage keys on. Pure
     column expressions — codegen, scan-parallel, no shuffle."""
-    cols = {
-        name: F.size(F.regexp_extract_all(F.col("content"), F.lit(pat), 0))
-        .cast("long")
-        .alias(f"n_{name}")
-        for name, pat in PII_PATTERNS.items()
-    }
+    counted = docs.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(F.col("content"), F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+    # has_pii from the already-computed count columns (second select) —
+    # each regex evaluates exactly once per row regardless of whether
+    # Catalyst's subexpression elimination fires (r4 VERDICT)
     total = None
     for name in PII_PATTERNS:
-        c = F.size(F.regexp_extract_all(F.col("content"), F.lit(PII_PATTERNS[name]), 0))
+        c = F.col(f"n_{name}")
         total = c if total is None else total + c
-    return docs.select(
-        "doc_id", *cols.values(), (total > 0).alias("has_pii")
-    )
+    return counted.select("*", (total > 0).alias("has_pii"))
 
 
 def pii_counts_sql(table: str = "documents", text: str = "text") -> str:

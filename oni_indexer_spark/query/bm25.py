@@ -437,11 +437,16 @@ class Searcher:
     def _lineage_signature(self) -> tuple | None:
         if self.tables.path is None:
             return None
-        from oni_indexer_spark.fsio import Fs
+        from oni_indexer_spark.index.lineage import Lineage
 
-        fs = Fs(self.tables.path, self.tables.stats.sparkSession)
-        return tuple(
-            sorted(fs.list_status(self.tables.path.rstrip("/") + "/_lineage"))
+        lin = Lineage(self.tables.stats.sparkSession, self.tables.path)
+        # generation token CONTENT (unique per mutation — r4 ADVICE: a
+        # same-size record rewrite inside one mtime tick is invisible to
+        # the listing alone) + the listing (covers legacy indexes written
+        # before the generation file existed)
+        return (
+            lin.read_generation(),
+            tuple(sorted(lin.fs.list_status(lin.dir))),
         )
 
     def _check_external_staleness(self) -> None:
