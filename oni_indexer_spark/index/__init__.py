@@ -5,6 +5,7 @@ from oni_indexer_spark.index.build import (  # noqa: F401
     append_to_index,
     build_index,
     build_to_path,
+    compact_index,
     overwrite_docs,
     read_index,
 )

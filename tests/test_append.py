@@ -105,3 +105,61 @@ def test_external_append_invalidates_stale_searcher(spark, docs, split_docs):
     append_to_index(c, p)
     expect = _rows(topk(build_index(docs, CFG), "the scan", k=10))
     assert _rows(s.topk("the scan", k=10)) == expect
+
+
+def test_compact_matches_uncompacted(spark, docs, split_docs):
+    """r4 VERDICT #1: compaction (the Lucene segment-merge analogue) must
+    consolidate files/segments WITHOUT changing a single answer."""
+    from oni_indexer_spark.index import compact_index
+
+    a, b, c = split_docs
+    p = tempfile.mkdtemp(prefix="compactidx_") + "/idx"
+    build_to_path(a, p, CFG, bucket_group_size=8)
+    append_to_index(b, p)
+    append_to_index(c, p)
+    before = read_index(spark, p)
+    pre = {q: _rows(topk(before, q, k=10)) for q in QUERIES}
+    pre_files = len(before.postings.inputFiles()) + len(before.doclen.inputFiles())
+    # boundary blocks split across appends exist pre-compaction
+    dup_pre = (
+        before.postings.groupBy("tid", "block_id").count().where("count > 1").count()
+    )
+
+    metrics = compact_index(p, spark)
+    after = read_index(spark, p)
+    # answers identical (incl. pruned path — block-max metadata recomputed)
+    for q in QUERIES:
+        assert _rows(topk(after, q, k=10)) == pre[q], q
+        assert _rows(topk(after, q, k=10, prune=True)) == pre[q], q
+    # structurally consolidated: one stats row, no split blocks, fewer files
+    assert after.stats.count() == 1
+    assert (
+        after.postings.groupBy("tid", "block_id").count().where("count > 1").count()
+        == 0
+    )
+    post_files = len(after.postings.inputFiles()) + len(after.doclen.inputFiles())
+    assert post_files < pre_files, (pre_files, post_files)
+    if dup_pre:  # the synthetic split produces boundary dups; pin the merge
+        assert metrics["files_after"] < metrics["files_before"]
+    # dfreq consolidated to one row per term
+    assert after.dfreq.groupBy("term").count().where("count > 1").count() == 0
+    # full rebuild equivalence (transitively true, but pin it directly)
+    full = build_index(docs, CFG)
+    for q in QUERIES:
+        assert _rows(topk(after, q, k=10)) == _rows(topk(full, q, k=10)), q
+
+
+def test_compact_then_append_continues(spark, docs, split_docs):
+    """Compaction must leave an index that keeps accepting appends."""
+    from oni_indexer_spark.index import compact_index
+
+    a, b, c = split_docs
+    p = tempfile.mkdtemp(prefix="compactidx2_") + "/idx"
+    build_to_path(a, p, CFG, bucket_group_size=8)
+    append_to_index(b, p)
+    compact_index(p, spark)
+    append_to_index(c, p)
+    appended = read_index(spark, p)
+    full = build_index(docs, CFG)
+    for q in QUERIES:
+        assert _rows(topk(appended, q, k=10)) == _rows(topk(full, q, k=10)), q
