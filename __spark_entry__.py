@@ -37,11 +37,14 @@ _DF_TERMS = ["the", "scan", "join", "hash", "merge", "window", "spark"]
 _INDEX_CACHE: dict[str, IndexTables] = {}
 
 
-def _index(spark: SparkSession, sf_dir: str, analyzer: str = "code") -> IndexTables:
+def _index(
+    spark: SparkSession, sf_dir: str, analyzer: str = "code", positions: bool = False
+) -> IndexTables:
     """Materialized-index path: build_to_path (varint blobs, lineage,
     bucket-partitioned parquet) + read_index — so every bm25/dfreq/doclen
     correctness row exercises the parquet round-trip, partition pruning
-    and lineage, not just the in-memory plan."""
+    and lineage, not just the in-memory plan. ``positions`` builds the
+    v5 positional variant (phrase queries) as a separate cached index."""
     import dataclasses
     import tempfile
 
@@ -49,10 +52,10 @@ def _index(spark: SparkSession, sf_dir: str, analyzer: str = "code") -> IndexTab
     from oni_indexer_spark.session import ship_package
 
     ship_package(spark)  # driver-owned sessions: make UDFs importable on workers
-    cache_key = f"{sf_dir}|{analyzer}"
+    cache_key = f"{sf_dir}|{analyzer}|{int(positions)}"
     t = _INDEX_CACHE.get(cache_key)
     if t is None:
-        cfg = dataclasses.replace(_CFG, analyzer=analyzer)
+        cfg = dataclasses.replace(_CFG, analyzer=analyzer, positions=positions)
         docs = from_driver_documents(spark, sf_dir)
         # key the on-disk cache by the source data's mtime so a
         # regenerated testdata dir never resumes over a stale index
@@ -60,13 +63,16 @@ def _index(spark: SparkSession, sf_dir: str, analyzer: str = "code") -> IndexTab
             src_tag = str(int(os.path.getmtime(f"{sf_dir}/documents.parquet")))
         except OSError:
             src_tag = "0"
-        from oni_indexer_spark.index import INDEX_FORMAT_VERSION
+        from oni_indexer_spark.index import (
+            INDEX_FORMAT_VERSION,
+            POSITIONS_FORMAT_VERSION,
+        )
 
         path = os.path.join(
             tempfile.gettempdir(),
             "oni_entry_index_v%d_%s_%s_%s"
             % (
-                INDEX_FORMAT_VERSION,
+                POSITIONS_FORMAT_VERSION if positions else INDEX_FORMAT_VERSION,
                 sf_dir.strip("/").replace("/", "_"),
                 src_tag,
                 analyzer,
@@ -106,11 +112,12 @@ def _q_bm25(
     fq: dict | None = None,
     prune: bool | str = "auto",
     analyzer: str = "code",
+    positions: bool = False,
 ):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _rounded(
             topk(
-                _index(spark, sf_dir, analyzer),
+                _index(spark, sf_dir, analyzer, positions=positions),
                 query, k=k, mode=mode, fq=fq, prune=prune,
             )
         )
@@ -758,6 +765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_three_term": _q_bm25("window merge sort", k=10),
         "bm25_zero_result": _q_bm25("zzz_not_in_corpus", k=10),
         "bm25_k100": _q_bm25("the scan", k=100),
+        # quoted-phrase query over a v5 positional index (Lucene
+        # PhraseQuery semantics; positions intersection in the worker)
+        "bm25_phrase": _q_bm25("hash join", k=10, mode="phrase", positions=True),
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -817,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fq_lang": oracle.bm25_topk_sql("hash", k=10, fq_lang="en"),
         "bm25_zero_result": oracle.bm25_topk_sql("zzz_not_in_corpus", k=10),
         "bm25_k100": oracle.bm25_topk_sql("the scan", k=100),
+        "bm25_phrase": oracle.bm25_phrase_topk_sql("hash join", k=10),
         "bm25_pruned_topk": oracle.bm25_topk_sql("the scan join", k=10),
         "bm25_text_en": oracle.bm25_topk_sql(
             "the hash joins", k=10, analyzer="text_en"

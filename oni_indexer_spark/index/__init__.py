@@ -1,5 +1,6 @@
 from oni_indexer_spark.index.build import (  # noqa: F401
     INDEX_FORMAT_VERSION,
+    POSITIONS_FORMAT_VERSION,
     IndexConfig,
     IndexTables,
     append_to_index,

@@ -71,8 +71,12 @@ from oni_indexer_spark.index import lineage as L
 # long-lived index paths are never read with mismatched code (v4 = SoA
 # varint blobs with block-relative doc/dl bases; v3 = seg partition
 # level for in-place overwrite; v2 = tid-keyed postings; v1 carried term
-# strings).
+# strings). v5 = v4 plus a per-posting positions stream in the blob
+# (IndexConfig.positions) — v4 indexes stay valid and are read as
+# positions=False, so enabling phrase support never invalidates an
+# existing non-positional index.
 INDEX_FORMAT_VERSION = 4
+POSITIONS_FORMAT_VERSION = 5
 
 
 @dataclass(frozen=True)
@@ -95,6 +99,11 @@ class IndexConfig:
     analyzer: str = "code"
     compress: bool = True
     meta_cols: tuple[str, ...] = ("repo", "path", "lang")
+    # v5: store each posting's within-doc token positions (Lucene text
+    # fields index positions by default — required for phrase queries,
+    # SURVEY.md §2.C5 / portal_base.json:18-23). Opt-in: positions cost
+    # the classic ~2-3x postings size and ride through the build shuffle.
+    positions: bool = False
 
     @property
     def seg_docs(self) -> int:
@@ -119,10 +128,11 @@ def _cfg_from_meta(meta: dict, path: str) -> IndexConfig:
     through this — appending v3-layout files into a v1/v2 index would
     silently corrupt it, so a version mismatch fails loudly here."""
     fmt = meta.get("format", 1)
-    if fmt != INDEX_FORMAT_VERSION:
+    if fmt not in (INDEX_FORMAT_VERSION, POSITIONS_FORMAT_VERSION):
         raise ValueError(
             f"index at {path} has on-disk format v{fmt}; this engine reads "
-            f"v{INDEX_FORMAT_VERSION} — rebuild with build_to_path"
+            f"v{INDEX_FORMAT_VERSION}/v{POSITIONS_FORMAT_VERSION} — rebuild "
+            "with build_to_path"
         )
     return IndexConfig(
         k1=meta["k1"],
@@ -132,6 +142,7 @@ def _cfg_from_meta(meta: dict, path: str) -> IndexConfig:
         seg_blocks=meta["seg_blocks"],
         analyzer=meta["analyzer"],
         compress=meta["compress"],
+        positions=(fmt == POSITIONS_FORMAT_VERSION),
     )
 
 
@@ -141,12 +152,37 @@ def term_bucket(term: Column, n_buckets: int) -> Column:
 
 
 def _tf_table(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(term, doc_id, tf, dl, bucket) — one row per distinct (term, doc).
+    """(term, doc_id, tf, dl, bucket [, positions]) — one row per
+    distinct (term, doc).
 
     The groupBy key includes doc_id, so hot terms spread over the full
     doc space; Catalyst's partial aggregation (map-side combine) keeps
     the shuffle proportional to distinct (term, doc) pairs, not tokens.
+    With ``cfg.positions``, each row also carries the term's ascending
+    within-doc token positions (posexplode + partial-aggregated
+    collect_list — the payload through the shuffle grows from 1 int to
+    tf ints per row, the inherent cost of a positional index).
     """
+    if cfg.positions:
+        toks = docs.select(
+            "doc_id", analyzer_tokens("content", cfg.analyzer).alias("toks")
+        ).select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        return (
+            toks.groupBy("term", "doc_id", "dl")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .select(
+                "term",
+                "doc_id",
+                "dl",
+                F.size("positions").cast("int").alias("tf"),
+                "positions",
+            )
+            .withColumn("bucket", term_bucket(F.col("term"), cfg.n_buckets))
+        )
     toks = docs.select(
         "doc_id", analyzer_tokens("content", cfg.analyzer).alias("toks")
     ).select(
@@ -212,12 +248,13 @@ _BLOCKS_OUT_SCHEMA = (
 )
 
 
-def _make_sorted_encoder(block_size: int):
+def _make_sorted_encoder(block_size: int, positions: bool = False):
     """Sort-based block encoder factory: the returned generator consumes
-    (tid, doc_id, tf, dl) rows SORTED by (tid, doc_id) within the
-    partition and emits one encoded row per (tid, block_id) group, where
-    ``block_id = doc_id // block_size`` is DERIVED here rather than
-    shipped as a column.
+    (tid, doc_id, tf, dl [, positions]) rows SORTED by (tid, doc_id)
+    within the partition and emits one encoded row per (tid, block_id)
+    group, where ``block_id = doc_id // block_size`` is DERIVED here
+    rather than shipped as a column. With ``positions`` the blob is the
+    v5 positional layout (codec.encode_postings_pos_flat).
 
     Scaling rationale (round-2 event-log diagnosis): the postings reduce
     stage is memory-bandwidth bound — its total CPU inflated +67% from
@@ -239,7 +276,10 @@ def _make_sorted_encoder(block_size: int):
         import numpy as np
         import pyarrow as pa
 
-        from oni_indexer_spark.index.codec import encode_postings_flat
+        from oni_indexer_spark.index.codec import (
+            encode_postings_flat,
+            encode_postings_pos_flat,
+        )
 
         carry: pa.RecordBatch | None = None
 
@@ -254,9 +294,22 @@ def _make_sorted_encoder(block_size: int):
             min_dls = np.minimum.reduceat(dls, starts)
             # v4: doc gaps relative to the block's doc-range start, dls
             # relative to block_min_dl — both already carried by the row
-            blobs = encode_postings_flat(
-                docs, tfs, dls, counts, block_ids * block_size, min_dls
-            )
+            if positions:
+                # ListArray.flatten() respects the batch slice, so the
+                # child values align 1:1 with the sliced postings
+                pos_values = (
+                    b.column(idx["positions"])
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                blobs = encode_postings_pos_flat(
+                    docs, tfs, dls, pos_values, counts, block_ids * block_size, min_dls
+                )
+            else:
+                blobs = encode_postings_flat(
+                    docs, tfs, dls, counts, block_ids * block_size, min_dls
+                )
             take = pa.array(starts)
             return pa.RecordBatch.from_arrays(
                 [
@@ -323,15 +376,23 @@ def _postings_blocks(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
     The agg path (collect_list + sort_array) remains for
     ``compress=False`` debug builds.
     """
-    slim = tf.select(F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl")
+    cols = ["doc_id", "tf", "dl"] + (["positions"] if cfg.positions else [])
+    slim = tf.select(F.xxhash64("term").alias("tid"), *cols)
     return _postings_blocks_tid(slim, cfg)
 
 
 def _postings_blocks_tid(slim: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Encode already-hashed (tid, doc_id, tf, dl) rows into block rows —
-    the shared tail of full builds, appends, and C11 segment rewrites
-    (which feed it decoded survivor postings that no longer have term
-    strings)."""
+    """Encode already-hashed (tid, doc_id, tf, dl [, positions]) rows
+    into block rows — the shared tail of full builds, appends, segment
+    compaction and C11 segment rewrites (the latter two feed it decoded
+    survivor postings that no longer have term strings; on a positional
+    index those rows carry the decoded positions so the re-encode is
+    lossless)."""
+    has_pos = "positions" in slim.columns
+    if cfg.positions and not has_pos:
+        raise ValueError("positional index: encoder input must carry positions")
+    if cfg.positions and not cfg.compress:
+        raise NotImplementedError("positions require compress=True (v5 blobs)")
     bucket = F.pmod(F.col("tid"), F.lit(cfg.n_buckets)).cast("int").alias("bucket")
     seg = F.floor(F.col("block_id") / cfg.seg_blocks).cast("long").alias("seg")
     if not cfg.compress:
@@ -354,7 +415,10 @@ def _postings_blocks_tid(slim: DataFrame, cfg: IndexConfig) -> DataFrame:
     pre = slim.repartition(
         F.col("tid"), F.floor(F.col("doc_id") / cfg.block_size)
     ).sortWithinPartitions("tid", "doc_id")
-    blocks = pre.mapInArrow(_make_sorted_encoder(cfg.block_size), _BLOCKS_OUT_SCHEMA)
+    blocks = pre.mapInArrow(
+        _make_sorted_encoder(cfg.block_size, positions=cfg.positions),
+        _BLOCKS_OUT_SCHEMA,
+    )
     return blocks.withColumn("bucket", bucket).withColumn("seg", seg)
 
 
@@ -588,7 +652,9 @@ def build_to_path(
         lin.finish("tid_check", t0, terms=int(row["nt"]))
     lin.write_meta(
         {
-            "format": INDEX_FORMAT_VERSION,
+            "format": (
+                POSITIONS_FORMAT_VERSION if cfg.positions else INDEX_FORMAT_VERSION
+            ),
             "k1": cfg.k1,
             "b": cfg.b,
             "block_size": cfg.block_size,
@@ -778,9 +844,13 @@ def overwrite_docs(
     # still serving queries) until the manifest-driven swap below, and
     # writing to a sibling dir closes the read-your-sources hazard that
     # previously needed a localCheckpoint.
-    new_slim = tf_new.select(F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl")
+    pos_cols = ["positions"] if cfg.positions else []
+    new_slim = tf_new.select(
+        F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl", *pos_cols
+    )
     blocks = _postings_blocks_tid(
-        survivors.select("tid", "doc_id", "tf", "dl").unionByName(new_slim), cfg
+        survivors.select("tid", "doc_id", "tf", "dl", *pos_cols).unionByName(new_slim),
+        cfg,
     )
     blocks.write.mode("overwrite").partitionBy("bucket", "seg").parquet(
         f"{path}/postings.next"
@@ -886,7 +956,10 @@ def compact_index(
 
     post_seg = postings.where(F.col("seg").isin(segs))
     rows = _decoded(post_seg, cfg)
-    blocks = _postings_blocks_tid(rows.select("tid", "doc_id", "tf", "dl"), cfg)
+    pos_cols = ["positions"] if cfg.positions else []
+    blocks = _postings_blocks_tid(
+        rows.select("tid", "doc_id", "tf", "dl", *pos_cols), cfg
+    )
     (
         blocks.repartition(n_pairs, "bucket", "seg")
         .sortWithinPartitions("tid", "block_id")

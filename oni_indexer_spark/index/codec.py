@@ -242,6 +242,173 @@ def decode_postings_flat(
     return doc_ids, tfs.astype(np.int32), dls.astype(np.int32), pcounts
 
 
+# --- positional (v5) codec -------------------------------------------------
+# Layout per row (one (term, doc-range block) group):
+#
+#   ``[gap_0..gap_{n-1}][tf_0..tf_{n-1}][dl_0..dl_{n-1}]
+#     [posdelta_{0,0}..posdelta_{0,tf_0-1}][posdelta_{1,0}..] ...``
+#
+# The first three regions are byte-identical to the v4 layout; the
+# positions region appends each posting's within-doc token positions
+# (ascending), delta-encoded per posting (first absolute, then gaps).
+# The stream is self-delimiting ONLY given the row's posting count ``n``
+# (total values = 3n + Σtf), which the block row already carries as its
+# ``n`` column — decoders take it as input instead of inferring V/3.
+# Positions make phrase queries exact (Lucene text fields index
+# positions by default — the part of Solr's query surface the v4 codec
+# couldn't serve) at the classic ~2-3x postings-size cost, which is why
+# they are opt-in per index (IndexConfig.positions).
+
+
+def encode_postings_pos_flat(
+    all_docs: np.ndarray,
+    all_tfs: np.ndarray,
+    all_dls: np.ndarray,
+    pos_values: np.ndarray,
+    counts: np.ndarray,
+    base_docs: np.ndarray | None = None,
+    base_dls: np.ndarray | None = None,
+) -> list[bytes]:
+    """v5 encode: like :func:`encode_postings_flat` plus a flat
+    ``pos_values`` array holding each posting's ``tf`` ascending token
+    positions consecutively (the natural Arrow ListArray child shape)."""
+    n_rows = len(counts)
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return [b""] * n_rows
+    all_docs = np.asarray(all_docs, dtype=np.int64)
+    all_tfs = np.asarray(all_tfs, dtype=np.int64)
+    pos_values = np.asarray(pos_values, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    # doc gaps (identical to v4)
+    gaps = all_docs.copy()
+    gaps[1:] -= all_docs[:-1]
+    nz = counts > 0
+    first = all_docs[starts[nz]]
+    if base_docs is not None:
+        first = first - np.asarray(base_docs, dtype=np.int64)[nz]
+    gaps[starts[nz]] = first
+    dls_rel = np.asarray(all_dls, dtype=np.int64)
+    if base_dls is not None:
+        dls_rel = dls_rel - np.repeat(np.asarray(base_dls, dtype=np.int64), counts)
+    # position deltas, first-absolute per POSTING
+    n_pos = int(pos_values.size)
+    ppos_starts = np.cumsum(all_tfs) - all_tfs  # per-posting start in pos_values
+    pdelta = pos_values.copy()
+    if n_pos:
+        pdelta[1:] -= pos_values[:-1]
+        pnz = all_tfs > 0
+        pdelta[ppos_starts[pnz]] = pos_values[ppos_starts[pnz]]
+    # per-row value regions: r_i = 3*n_i + s_i  (s_i = Σ tf in row i)
+    s_row = np.zeros(n_rows, dtype=np.int64)
+    if total:
+        tf_cum = np.concatenate(([0], np.cumsum(all_tfs)))
+        s_row = tf_cum[starts + counts] - tf_cum[starts]
+    r = 3 * counts + s_row
+    row_val_starts = np.cumsum(r) - r
+    vals = np.empty(int(r.sum()), dtype=np.uint64)
+    # scatter gaps/tfs/dls (per posting)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    vstart_rep = np.repeat(row_val_starts, counts)
+    n_rep = np.repeat(counts, counts)
+    vals[vstart_rep + within] = gaps.astype(np.uint64)
+    vals[vstart_rep + n_rep + within] = all_tfs.astype(np.uint64)
+    vals[vstart_rep + 2 * n_rep + within] = dls_rel.astype(np.uint64)
+    # scatter position deltas (per position value)
+    if n_pos:
+        row_pos_start = np.cumsum(s_row) - s_row
+        row_of_pos = np.repeat(np.arange(n_rows, dtype=np.int64), s_row)
+        pos_within_row = np.arange(n_pos, dtype=np.int64) - row_pos_start[row_of_pos]
+        vals[
+            row_val_starts[row_of_pos] + 3 * counts[row_of_pos] + pos_within_row
+        ] = pdelta.astype(np.uint64)
+    buf, nbytes = _varint_encode_arr(vals)
+    cum = np.zeros(vals.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=cum[1:])
+    vend = row_val_starts + r
+    raw = buf.tobytes()
+    return [raw[cum[row_val_starts[i]] : cum[vend[i]]] for i in range(n_rows)]
+
+
+def decode_postings_pos_flat(
+    blobs: list,
+    ns: np.ndarray,
+    base_docs: np.ndarray | None = None,
+    base_dls: np.ndarray | None = None,
+    with_positions: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decode v5 blobs → (doc_ids, tfs, dls, counts, pos_flat|None).
+    ``ns`` is the per-blob posting count (the block row's ``n`` column —
+    required because 3n + Σtf values per blob is not self-describing).
+    ``with_positions=False`` skips materializing the positions array
+    (scoring paths that only need tf/dl)."""
+    n_rows = len(blobs)
+    ns = np.asarray(ns, dtype=np.int64)
+    raw = [bytes(b) if b is not None else b"" for b in blobs]
+    lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=n_rows)
+    buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+    vals, ends = _varint_decode_arr(buf)
+    bstarts = np.cumsum(lens) - lens
+    first_val = np.searchsorted(ends, bstarts)
+    pcounts = np.where(lens > 0, ns, 0).astype(np.int64)
+    total = int(pcounts.sum())
+    pstarts = np.cumsum(pcounts) - pcounts
+    within = np.arange(total, dtype=np.int64) - np.repeat(pstarts, pcounts)
+    reg = np.repeat(first_val, pcounts)
+    n_rep = np.repeat(pcounts, pcounts)
+    gaps = vals[reg + within].astype(np.int64)
+    tfs = vals[reg + n_rep + within].astype(np.int64)
+    dls = vals[reg + 2 * n_rep + within].astype(np.int64)
+    # segmented cumsum per blob (same machinery as v4)
+    cs = np.cumsum(gaps)
+    corr = np.zeros(n_rows, dtype=np.int64)
+    nz = pcounts > 0
+    prev = pstarts[nz] - 1
+    corr[nz] = np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+    corr[nz] = np.where(pstarts[nz] > 0, corr[nz], 0)
+    doc_ids = cs - np.repeat(corr, pcounts)
+    if base_docs is not None:
+        doc_ids = doc_ids + np.repeat(np.asarray(base_docs, dtype=np.int64), pcounts)
+    if base_dls is not None:
+        dls = dls + np.repeat(np.asarray(base_dls, dtype=np.int64), pcounts)
+    pos_flat = None
+    if with_positions:
+        # positions region per blob: [first_val + 3n, first_val + 3n + s)
+        s_blob = np.zeros(n_rows, dtype=np.int64)
+        if total:
+            tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+            s_blob = tf_cum[pstarts + pcounts] - tf_cum[pstarts]
+        n_pos = int(s_blob.sum())
+        if n_pos:
+            blob_pos_start = np.cumsum(s_blob) - s_blob
+            blob_of_pos = np.repeat(np.arange(n_rows, dtype=np.int64), s_blob)
+            pos_within_blob = (
+                np.arange(n_pos, dtype=np.int64) - blob_pos_start[blob_of_pos]
+            )
+            pdeltas = vals[
+                first_val[blob_of_pos] + 3 * pcounts[blob_of_pos] + pos_within_blob
+            ].astype(np.int64)
+            # segmented cumsum per POSTING
+            ppos_starts = np.cumsum(tfs) - tfs  # per-posting start into pos_flat
+            pcs = np.cumsum(pdeltas)
+            pnz = tfs > 0
+            pcorr = np.zeros(total, dtype=np.int64)
+            pprev = ppos_starts[pnz] - 1
+            pcorr[pnz] = np.where(pprev >= 0, pcs[np.maximum(pprev, 0)], 0)
+            pcorr[pnz] = np.where(ppos_starts[pnz] > 0, pcorr[pnz], 0)
+            pos_flat = pcs - np.repeat(pcorr, tfs)
+        else:
+            pos_flat = np.empty(0, dtype=np.int64)
+    return (
+        doc_ids,
+        tfs.astype(np.int32),
+        dls.astype(np.int32),
+        pcounts,
+        pos_flat,
+    )
+
+
 def decode_postings_batch(
     blobs: list,
     base_docs: np.ndarray | None = None,

@@ -10,6 +10,7 @@ the same round-then-tie-break convention (see query/bm25._ranked).
 from __future__ import annotations
 
 from oni_indexer_spark.analyzer import (
+    analyzer_tokenize_py,
     analyzer_tokens_sql,
     duckdb_tokens_sql,
     query_terms,
@@ -73,6 +74,68 @@ ranked AS (
          row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM scored
   WHERE TRUE {fq_pred}
+)
+SELECT rank::int AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def bm25_phrase_topk_sql(
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Phrase-query oracle (Lucene ``PhraseQuery`` semantics, mirrored by
+    ``Searcher._phrase_topk``): phrase frequency = count of start
+    positions where the full token sequence matches; score =
+    ``(Σ_j idf(term_j)) · tfn(phraseFreq, dl)`` with idf summed over all
+    query positions (duplicates counted per position)."""
+    qtoks = analyzer_tokenize_py(query, analyzer)
+    m = len(qtoks)
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    cond = " AND ".join(
+        f"toks[i+{j}] = '" + t.replace("'", "''") + "'" for j, t in enumerate(qtoks)
+    )
+    distinct = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(qtoks)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+toksd AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES {_values(qtoks)}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toksd
+  WHERE term IN ({distinct}) GROUP BY term
+),
+idfsum AS (
+  SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS w
+  FROM q JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) - {m} + 2), i -> {cond})) AS pf
+  FROM base WHERE len(toks) >= {m}
+),
+scored AS (
+  SELECT pf.doc_id,
+         i.w * pf.pf * ({k1} + 1.0)
+             / (pf.pf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN idfsum i
+  WHERE pf.pf > 0
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
 )
 SELECT rank::int AS rank, doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {k}

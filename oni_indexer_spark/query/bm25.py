@@ -81,8 +81,55 @@ def _make_decode_map_arrow(block_size: int):
     return _decode
 
 
+def _make_decode_map_pos_arrow(block_size: int):
+    """Positional (v5) decoder: like :func:`_make_decode_map_arrow` but
+    consumes the row's ``n`` column (the v5 stream is self-delimiting
+    only given the posting count) and emits each posting's positions as
+    a list column — the shape overwrite/compaction need to re-encode a
+    positional index losslessly."""
+
+    def _decode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from oni_indexer_spark.index.codec import decode_postings_pos_flat
+
+        for b in batches:
+            idx = {n: i for i, n in enumerate(b.schema.names)}
+            blobs = b.column(idx["blob"]).to_pylist()
+            ns = b.column(idx["n"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            base_docs = (
+                b.column(idx["block_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+                * block_size
+            )
+            base_dls = b.column(idx["block_min_dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_ids, tfs, dls, counts, pos_flat = decode_postings_pos_flat(
+                blobs, ns, base_docs, base_dls
+            )
+            tid_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), counts)
+            pos_offsets = np.concatenate(
+                ([0], np.cumsum(tfs.astype(np.int64)))
+            ).astype(np.int32)
+            pos_list = pa.ListArray.from_arrays(
+                pa.array(pos_offsets), pa.array(pos_flat, type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(idx["tid"]).take(pa.array(tid_idx)),
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(tfs, type=pa.int32()),
+                    pa.array(dls, type=pa.int32()),
+                    pos_list,
+                ],
+                names=["tid", "doc_id", "tf", "dl", "positions"],
+            )
+
+    return _decode
+
+
 def _make_decode_score_topk_arrow(
-    block_size: int, idf_val: float, avgdl: float, k1: float, b: float, k: int
+    block_size: int, idf_val: float, avgdl: float, k1: float, b: float, k: int,
+    positions: bool = False,
 ):
     """Single-term fast path: decode + BM25 score + per-batch candidate
     top-k in ONE numpy pass. A single term hits each doc at most once
@@ -104,7 +151,10 @@ def _make_decode_score_topk_arrow(
         import numpy as np
         import pyarrow as pa
 
-        from oni_indexer_spark.index.codec import decode_postings_flat
+        from oni_indexer_spark.index.codec import (
+            decode_postings_flat,
+            decode_postings_pos_flat,
+        )
 
         for batch in batches:
             idx = {n: i for i, n in enumerate(batch.schema.names)}
@@ -116,7 +166,13 @@ def _make_decode_score_topk_arrow(
             base_dls = (
                 batch.column(idx["block_min_dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            doc_ids, tfs, dls, _ = decode_postings_flat(blobs, base_docs, base_dls)
+            if positions:
+                ns = batch.column(idx["n"]).to_numpy(zero_copy_only=False).astype(np.int64)
+                doc_ids, tfs, dls, _, _p = decode_postings_pos_flat(
+                    blobs, ns, base_docs, base_dls, with_positions=False
+                )
+            else:
+                doc_ids, tfs, dls, _ = decode_postings_flat(blobs, base_docs, base_dls)
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
             s = idf_val * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
@@ -141,6 +197,7 @@ def _make_decode_score_group_arrow(
     n_terms_and: int | None,
     k: int | None,
     floor: float | None,
+    positions: bool = False,
 ):
     """Multi-term scorer factory: rows are (tid, block_id, block_min_dl,
     blob), hash-partitioned by block_id and sorted by block_id within the
@@ -176,7 +233,10 @@ def _make_decode_score_group_arrow(
         import numpy as np
         import pyarrow as pa
 
-        from oni_indexer_spark.index.codec import decode_postings_flat
+        from oni_indexer_spark.index.codec import (
+            decode_postings_flat,
+            decode_postings_pos_flat,
+        )
 
         guard = None if floor is None else (round(floor, 6) - 1e-6)
 
@@ -191,7 +251,13 @@ def _make_decode_score_group_arrow(
             base_dls = (
                 tb.column(idx["block_min_dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            doc_ids, tfs, dls, counts = decode_postings_flat(blobs, base_docs, base_dls)
+            if positions:
+                ns = tb.column(idx["n"]).to_numpy(zero_copy_only=False).astype(np.int64)
+                doc_ids, tfs, dls, counts, _p = decode_postings_pos_flat(
+                    blobs, ns, base_docs, base_dls, with_positions=False
+                )
+            else:
+                doc_ids, tfs, dls, counts = decode_postings_flat(blobs, base_docs, base_dls)
             idf_row = np.array([idf_by_tid[int(t)] for t in tids], dtype=np.float64)
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
@@ -253,8 +319,140 @@ def _make_decode_score_group_arrow(
     return _decode
 
 
+def _make_decode_phrase_group_arrow(
+    block_size: int,
+    tid_offsets: list[tuple[int, int]],
+    idf_sum: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+):
+    """Phrase scorer factory (Lucene ``PhraseQuery`` semantics over the
+    v5 positional blobs): rows are (tid, block_id, block_min_dl, n,
+    blob), hash-partitioned and sorted by block_id like the multi-term
+    scorer, so every phrase term's postings for a doc-range block arrive
+    together. One numpy pass per batch of complete blocks:
+
+      decode (with positions) → for each query offset j holding term
+      t_j, form keys ``slot * P + (pos − j)`` over t_j's positions →
+      a key hit by ALL m offsets is a phrase occurrence starting at
+      ``pos − j`` → per-doc phrase frequency via two np.unique passes →
+      ``score = (Σ_j idf(t_j)) · tfn(phraseFreq, dl)`` — Lucene scores a
+      phrase exactly like a single term whose tf is the phrase count and
+      whose weight is the sum of the member idfs.
+
+    ``tid_offsets``: [(tid, offset)] for every query position (a term
+    appearing twice in the phrase contributes two offsets). ``k``:
+    per-batch conservative candidate selection, same rounding-grid guard
+    as the OR scorer. Blocks split across Arrow batches are carried over
+    so no doc's positions are seen partially.
+    """
+
+    def _decode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from oni_indexer_spark.index.codec import decode_postings_pos_flat
+
+        m = len(tid_offsets)
+
+        def process(tb):
+            idx = {n: i for i, n in enumerate(tb.schema.names)}
+            blobs = tb.column(idx["blob"]).to_pylist()
+            if not blobs:
+                return None
+            tids = tb.column(idx["tid"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            blk = tb.column(idx["block_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            ns = tb.column(idx["n"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            base_docs = blk * block_size
+            base_dls = (
+                tb.column(idx["block_min_dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            doc_ids, tfs, dls, counts, pos_flat = decode_postings_pos_flat(
+                blobs, ns, base_docs, base_dls
+            )
+            if doc_ids.size == 0:
+                return None
+            # dense (group, in-block offset) slots — same grid as the OR
+            # scorer (rows sorted by block_id within the partition)
+            new_grp = np.concatenate(([True], blk[1:] != blk[:-1]))
+            grp_of_row = np.cumsum(new_grp) - 1
+            n_grp = int(grp_of_row[-1]) + 1
+            grp_base = base_docs[new_grp]
+            grp_rep = np.repeat(grp_of_row, counts)
+            slot = grp_rep * block_size + (doc_ids - grp_base[grp_rep])
+            n_slots = n_grp * block_size
+            slot_dl = np.zeros(n_slots, dtype=np.float64)
+            slot_dl[slot] = dls  # same dl for every term of a doc
+            # positions → their posting, term, slot
+            tfs64 = tfs.astype(np.int64)
+            post_of_pos = np.repeat(np.arange(doc_ids.size, dtype=np.int64), tfs64)
+            tid_of_post = np.repeat(tids, counts)
+            P = np.int64(int(pos_flat.max()) + m + 2) if pos_flat.size else np.int64(m + 2)
+            keys_parts = []
+            for tid_j, j in tid_offsets:
+                pmask = tid_of_post[post_of_pos] == tid_j
+                adj = pos_flat[pmask] - j
+                ok = adj >= 0  # a phrase can't start before the doc
+                keys_parts.append(slot[post_of_pos[pmask][ok]] * P + adj[ok])
+            keys = np.concatenate(keys_parts) if keys_parts else np.empty(0, np.int64)
+            if keys.size == 0:
+                return None
+            uk, cnt = np.unique(keys, return_counts=True)
+            full = uk[cnt == m]  # start positions hit by ALL offsets
+            if full.size == 0:
+                return None
+            hit_slots, pf = np.unique(full // P, return_counts=True)
+            pff = pf.astype(np.float64)
+            dl = slot_dl[hit_slots]
+            s = idf_sum * ((pff * (k1 + 1.0)) / (pff + k1 * (1.0 - b + b * dl / avgdl)))
+            out_docs = grp_base[hit_slots // block_size] + (hit_slots % block_size)
+            if k is not None and s.size > k:
+                kth = np.partition(s, s.size - k)[s.size - k]
+                keep = s >= (np.round(kth, 6) - 1e-6)
+                out_docs, s = out_docs[keep], s[keep]
+            return pa.RecordBatch.from_arrays(
+                [pa.array(out_docs, type=pa.int64()), pa.array(s, type=pa.float64())],
+                names=["doc_id", "score"],
+            )
+
+        carry: pa.RecordBatch | None = None
+        for bt in batches:
+            if carry is not None:
+                bt = pa.Table.from_batches([carry, bt]).combine_chunks().to_batches()[0]
+                carry = None
+            n = len(bt)
+            if n == 0:
+                continue
+            idx = {nm: i for i, nm in enumerate(bt.schema.names)}
+            blk = bt.column(idx["block_id"]).to_numpy(zero_copy_only=False)
+            last_start = int(np.searchsorted(blk, blk[n - 1], side="left"))
+            carry = bt.slice(last_start)
+            if last_start > 0:
+                out = process(bt.slice(0, last_start))
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry) > 0:
+            out = process(carry)
+            if out is not None:
+                yield out
+
+    return _decode
+
+
 def _decoded(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(tid, doc_id, tf, dl) rows from (possibly compressed) block rows."""
+    """(tid, doc_id, tf, dl [, positions]) rows from (possibly
+    compressed) block rows; positional indexes decode their positions
+    list so re-encoding consumers (overwrite, compaction) stay
+    lossless."""
+    if cfg.compress and cfg.positions:
+        return postings.select(
+            "tid", "block_id", "block_min_dl", "n", "blob"
+        ).mapInArrow(
+            _make_decode_map_pos_arrow(cfg.block_size),
+            "tid long, doc_id long, tf int, dl int, positions array<int>",
+        )
     if cfg.compress:
         return postings.select("tid", "block_id", "block_min_dl", "blob").mapInArrow(
             _make_decode_map_arrow(cfg.block_size),
@@ -320,11 +518,13 @@ def _scores(
         # slow path; terms over the repartition threshold take the
         # block-aligned path below for decode parallelism.)
         (idf_val,) = idf.values()
+        pos_cols = ["n"] if cfg.positions else []
         return postings_subset.select(
-            "block_id", "block_min_dl", "blob"
+            "block_id", "block_min_dl", *pos_cols, "blob"
         ).mapInArrow(
             _make_decode_score_topk_arrow(
-                cfg.block_size, float(idf_val), float(avgdl), cfg.k1, cfg.b, k
+                cfg.block_size, float(idf_val), float(avgdl), cfg.k1, cfg.b, k,
+                positions=cfg.positions,
             ),
             "doc_id long, score double",
         )
@@ -342,8 +542,9 @@ def _scores(
         spark = postings_subset.sparkSession
         if nparts is None:
             nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        pos_cols = ["n"] if cfg.positions else []
         co = (
-            postings_subset.select("tid", "block_id", "block_min_dl", "blob")
+            postings_subset.select("tid", "block_id", "block_min_dl", *pos_cols, "blob")
             .repartition(nparts, F.col("block_id"))
             .sortWithinPartitions("block_id")
         )
@@ -359,6 +560,7 @@ def _scores(
                 # lose its top rows to the filter, so emit all doc totals
                 k if fq is None else None,
                 floor,
+                positions=cfg.positions,
             ),
             "doc_id long, score double",
         )
@@ -518,11 +720,15 @@ class Searcher:
     ) -> DataFrame:
         """Rank-ordered top-k ``(rank, doc_id, score)`` for a free-text
         query. ``mode='or'`` is Solr's default q.op; ``mode='and'``
-        requires all terms; ``fq`` is exact-match metadata drill-down
-        (C9). ``prune``: True / False / 'auto' (cost-based)."""
+        requires all terms; ``mode='phrase'`` matches the exact token
+        sequence (quoted-phrase queries — needs a positional index);
+        ``fq`` is exact-match metadata drill-down (C9). ``prune``:
+        True / False / 'auto' (cost-based)."""
         import math
 
         self._check_external_staleness()
+        if mode == "phrase":
+            return self._phrase_topk(query, k)
         tables = self.tables
         terms = query_terms(query, tables.cfg.analyzer)
         if not terms:
@@ -556,6 +762,68 @@ class Searcher:
             ),
             k,
         )
+
+    def _phrase_topk(self, query: str, k: int) -> DataFrame:
+        """Quoted-phrase top-k (Solr/Lucene ``PhraseQuery`` over
+        ``main_search`` — the query shape ``portal_base.json:18-23``
+        serves that the OR/AND engine couldn't). Needs an index built
+        with ``IndexConfig.positions=True`` (v5).
+
+        Scoring is Lucene's: the phrase behaves as one pseudo-term whose
+        tf is the exact phrase occurrence count and whose idf weight is
+        ``Σ_j idf(term_j)`` over the query positions (duplicate terms
+        contribute once per position). Physical plan = the multi-term
+        block-aligned shape: bucket/tid-pruned scan → ONE repartition of
+        compressed blobs by block_id → numpy decode + position
+        intersection + per-batch candidate top-k → TakeOrdered. No
+        block-max pruning (the OR bound is valid but pass-1 would need
+        phrase scoring of candidate blocks to set τ — future work)."""
+        import math
+
+        tables = self.tables
+        cfg = tables.cfg
+        if not cfg.positions:
+            raise ValueError(
+                "phrase queries need a positional index "
+                "(build with IndexConfig(positions=True))"
+            )
+        from oni_indexer_spark.analyzer import analyzer_tokenize_py
+        from oni_indexer_spark.hashing import xxhash64_str
+
+        qtoks = analyzer_tokenize_py(query, cfg.analyzer)
+        if not qtoks:
+            return _empty_result(tables)
+        n_docs, avgdl = self.stats()
+        distinct = sorted(set(qtoks))
+        dfs = self.term_dfs(distinct)
+        if len(dfs) < len(distinct):
+            return _empty_result(tables)  # a missing term → no phrase match
+        if len(qtoks) == 1:
+            return self.topk(query, k=k, mode="or")  # Lucene's 1-term rewrite
+        idf = {
+            t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
+        }
+        idf_sum = float(sum(idf[t] for t in qtoks))
+        tid_offsets = [(xxhash64_str(t), j) for j, t in enumerate(qtoks)]
+        buckets = _buckets_for(tables, distinct)
+        tids = sorted({t for t, _ in tid_offsets})
+        p = tables.postings.where(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        )
+        spark = p.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        co = (
+            p.select("tid", "block_id", "block_min_dl", "n", "blob")
+            .repartition(nparts, F.col("block_id"))
+            .sortWithinPartitions("block_id")
+        )
+        scored = co.mapInArrow(
+            _make_decode_phrase_group_arrow(
+                cfg.block_size, tid_offsets, idf_sum, float(avgdl), cfg.k1, cfg.b, k
+            ),
+            "doc_id long, score double",
+        )
+        return _ranked(scored, k)
 
 
 # Module-level convenience: one cached Searcher per IndexTables instance,
