@@ -118,3 +118,34 @@ def test_blockaligned_carry_across_tiny_arrow_batches(spark, docs):
         assert a2 == b2
     finally:
         spark.conf.set(key, old)
+
+
+def test_fq_pushdown_and_join_paths_agree(tables):
+    """r4 VERDICT #4: a selective fq ships as a broadcast sorted doc_id
+    array into the scorers (candidate selection stays on, output
+    O(k·batches)); an unselective one keeps the doclen semi-join. Both
+    paths must be rank/score-identical to the oracle."""
+    from oni_indexer_spark.query.bm25 import Searcher
+
+    exp = [(r[0], r[1], round(r[2], 6)) for r in _oracle("hash join the", 10, "or", "en")]
+
+    pushed = Searcher(tables)  # default threshold: fq fits, pushdown on
+    got_pushed = _rows(pushed.topk("hash join the", k=10, fq={"lang": "en"}))
+    assert (pushed._fq_cache[(("lang", "en"),)][1] is not None), "expected pushdown"
+
+    joined = Searcher(tables)
+    joined.fq_pushdown_max_docs = 0  # force the legacy semi-join path
+    got_joined = _rows(joined.topk("hash join the", k=10, fq={"lang": "en"}))
+    assert joined._fq_cache[(("lang", "en"),)][1] is None
+
+    for got in (got_pushed, got_joined):
+        assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp]
+        for g, e in zip(got, exp):
+            assert abs(g[2] - e[2]) < 1e-6
+
+
+def test_fq_no_match_short_circuits(tables):
+    from oni_indexer_spark.query.bm25 import Searcher
+
+    s = Searcher(tables)
+    assert _rows(s.topk("hash", k=10, fq={"lang": "zz_nope"})) == []
