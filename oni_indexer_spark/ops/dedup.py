@@ -35,11 +35,11 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles_col(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column. Docs shorter than
-    n tokens yield an empty set (guard needed: Spark's sequence(1, 0)
-    would generate a DESCENDING range, not an empty one)."""
-    toks = tokens_col(col)
+def _shingles_of(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-BOUND token-array
+    column. Docs shorter than n tokens yield an empty set (guard needed:
+    Spark's sequence(1, 0) would generate a DESCENDING range, not an
+    empty one)."""
     gram = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
@@ -47,6 +47,20 @@ def shingles_col(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles_col(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    SCALE WARNING: inlines the tokenizer into the transform lambda, so
+    Catalyst re-evaluates the regex tokenization per sequence element —
+    O(doc_len²) per document (caught by the r5 1M-doc bench: the
+    shingle scan crawled at ~30x the expected cost). Fine for ad-hoc
+    use on short text; the pipeline path is :func:`_shingle_rows`,
+    which binds the token array to a named column first (CollapseProject
+    keeps a multi-referenced non-cheap alias materialized, so the
+    tokenizer runs once per doc)."""
+    return _shingles_of(tokens_col(col), n)
 
 
 def shingles_sql(text: str, n: int = 3) -> str:
@@ -61,8 +75,11 @@ def shingles_sql(text: str, n: int = 3) -> str:
 
 
 def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(shingles_col("content", n)).alias("shingle")
+    # two-step projection: tokens bound to a named column BEFORE the
+    # shingle lambda references it 3x per element (see shingles_col's
+    # scale warning — this keeps the tokenize O(doc_len), not O(len²))
+    return docs.select("doc_id", tokens_col("content").alias("toks")).select(
+        "doc_id", F.explode(_shingles_of(F.col("toks"), n)).alias("shingle")
     )
 
 
@@ -195,22 +212,38 @@ def minhash_lsh_pairs(
     candidates: shingle rows are semi-joined down to candidate doc_ids and
     intersections are computed per candidate pair (cand ⋈ sh_a ⋈ sh_b),
     never via a full-corpus shingle self-join. At 10^12 docs the cost is
-    O(candidate pairs × shingles/doc), not O(all co-shingled pairs)."""
+    O(candidate pairs × shingles/doc), not O(all co-shingled pairs).
+
+    The signature and candidate tables are PERSISTED inside the plan:
+    both feed multiple branches (bands × the self-join's two sides;
+    cand → cand_ids → intersections), and without materialization each
+    branch re-runs the full shingle+minhash aggregation over the corpus
+    — invisible at test scale, ~8 redundant 10^8-row aggregations at 1M
+    docs (caught by the r5 non-toy bench; Spark's own ML LSH persists
+    for the same reason). sig is O(n_docs × n_hashes) ints, cand is the
+    candidate pairs — both tiny next to the shingle stream. At cluster
+    scale replace persist with a checkpoint to storage if executors are
+    memory-tight."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, n)
-    band_rows = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(bi).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bkey"),
-            )
+    sig = minhash_signatures(docs, n_hashes, n).persist()
+    # bands as ONE explode-projection of sig (not a union of per-band
+    # selects): a single pass over the cached signatures
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh_{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("bkey"),
         )
-    bandsdf = band_rows[0]
-    for x in band_rows[1:]:
-        bandsdf = bandsdf.unionByName(x)
+        for bi in range(bands)
+    ]
+    bandsdf = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
     cand = (
@@ -222,14 +255,17 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .persist()
     )
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # verification shingles: candidate docs only (uncapped — exact sets)
-    sh = _shingle_rows(docs, n).join(cand_ids, "doc_id", "left_semi")
+    # verification shingles: candidate docs only (uncapped — exact sets);
+    # persisted — three consumers (sizes, both join sides) would each
+    # re-run the tokenize+shingle scan otherwise
+    sh = _shingle_rows(docs, n).join(cand_ids, "doc_id", "left_semi").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -85,8 +85,10 @@ FROM {table}
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-ratio language scores + argmax prediction (deterministic
-    tie-break: language code asc)."""
-    toks = tokens_col("content")
+    tie-break: language code asc). Tokens bound to a named column first —
+    the score expressions reference the array ~8x per row and must not
+    re-run the tokenizer each time."""
+    toks = F.col("toks")
     cols = {}
     for lang, words in sorted(STOPWORDS.items()):
         arr = F.array(*[F.lit(w) for w in words])
@@ -102,7 +104,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         else:
             pred = F.when(cols[lang] > best, F.lit(lang)).otherwise(pred)
             best = F.when(cols[lang] > best, cols[lang]).otherwise(best)
-    return docs.select(
+    return docs.select("doc_id", tokens_col("content").alias("toks")).select(
         "doc_id",
         *[cols[lang].alias(f"score_{lang}") for lang in sorted(STOPWORDS)],
         pred.alias("predicted_lang"),
@@ -136,8 +138,9 @@ FROM s
 def quality_score(docs: DataFrame) -> DataFrame:
     """Cheap quality heuristics: token count, mean token length,
     non-alphanumeric character ratio, English stopword ratio, and a
-    composite score in [0,1]."""
-    toks = tokens_col("content")
+    composite score in [0,1]. Tokens bound to a named column first
+    (multi-referenced — see lang_id)."""
+    toks = F.col("toks")
     n_toks = F.size(toks)
     n_chars = F.length(F.col("content"))
     alnum = F.length(F.regexp_replace(F.lower(F.col("content")), "[^a-z0-9_]", ""))
@@ -153,6 +156,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
         sw_ratio * 5.0, F.lit(1.0)
     )
     return docs.select(
+        "doc_id", "content", tokens_col("content").alias("toks")
+    ).select(
         "doc_id",
         n_toks.cast("long").alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
@@ -226,8 +231,13 @@ def repetition_score(docs: DataFrame) -> DataFrame:
     training data — Rae et al. 2021, public): distinct-token fraction and
     duplicate-trigram fraction, plus the standard flag (dup-trigram
     ratio > 0.3 or distinct-token ratio < 0.3). Pure column expressions —
-    whole-stage codegen, no shuffle, scan-parallel at any corpus size."""
-    toks = tokens_col("content")
+    whole-stage codegen, no shuffle, scan-parallel at any corpus size.
+
+    The token array is bound to a named column in a first projection:
+    referencing the raw tokenizer expression inside the trigram lambda
+    would re-run the regex per sequence element — O(doc_len²) per doc
+    (the r5 1M-doc scale bug found in the shingle path)."""
+    toks = F.col("toks")
     n = F.size(toks)
     uniq_frac = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(
         F.lit(1.0)
@@ -249,7 +259,7 @@ def repetition_score(docs: DataFrame) -> DataFrame:
     ).otherwise(F.lit(0.0))
     uniq_r = F.round(uniq_frac, 6)
     dup_r = F.round(dup_tri, 6)
-    return docs.select(
+    return docs.select("doc_id", tokens_col("content").alias("toks")).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         uniq_r.alias("distinct_token_ratio"),

@@ -72,6 +72,40 @@ def main() -> None:
         "queries": qtimes,
         "query_p95_sec": p95,
     }
+
+    if "--phrase" in sys.argv:
+        # positional (v5) variant on the same corpus: build-cost premium
+        # of the positions stream + phrase-query latency at 1M docs
+        ppath = os.path.join(gen, "index_pos")
+        t0 = time.time()
+        build_to_path(
+            docs, ppath,
+            IndexConfig(block_size=128, n_buckets=32, positions=True),
+            bucket_group_size=32, resume=False,
+        )
+        pos_build_sec = time.time() - t0
+        ptables = read_index(spark, ppath)
+        topk(ptables, "warmup scan", k=5, mode="phrase").collect()
+        PHRASES = [
+            ("ph_two_term", "hash join"),
+            ("ph_three_term", "the scan join"),
+            ("ph_hot_bigram", "the the"),
+        ]
+        psamples: dict[str, list[float]] = {name: [] for name, _ in PHRASES}
+        for _ in range(3):
+            for name, q in PHRASES:
+                t0 = time.time()
+                topk(ptables, q, k=10, mode="phrase").collect()
+                psamples[name].append(time.time() - t0)
+        out["phrase_1m"] = {
+            "pos_build_sec": round(pos_build_sec, 3),
+            "pos_docs_per_sec": round(n_docs / pos_build_sec, 2),
+            "pos_build_overhead_x": round(pos_build_sec / build_sec, 2),
+            "queries": {
+                name: round(statistics.median(s), 4) for name, s in psamples.items()
+            },
+        }
+
     print(json.dumps(out))
     if "--merge-into" in sys.argv:
         target = sys.argv[sys.argv.index("--merge-into") + 1]

@@ -9,11 +9,15 @@ in doc-id order so the append contract min(new) > max(existing) holds),
 via streaming.stream_index → foreachBatch → append_to_index. Reports:
 
   {"stream_docs_per_sec": ..., "n_batches": ..., "query_p95_sec": ...,
-   "exact_vs_rebuild": true|false}
+   "compact": {...}, "exact_vs_rebuild": true|false}
 
-exact_vs_rebuild re-runs the bench query set against a from-scratch
-in-memory index over base+streamed and compares rank/doc/rounded-score
-row lists — the test_append invariant at non-toy scale.
+After the post-append measurement the index is COMPACTED
+(index.build.compact_index — r4 VERDICT #1/#5) and the query set
+re-measured, so the record shows the segment-fragmentation cost and how
+much of it the merge recovers (files/segments before+after, p95
+before+after). exact_vs_rebuild runs against the COMPACTED index — the
+full pipeline (stream → append segments → merge) must stay
+rank/rounded-score-identical to a from-scratch build over base+streamed.
 
 Usage: python scripts/bench_stream.py [--base 100000] [--stream 100000]
 """
@@ -94,17 +98,30 @@ def main() -> None:
         1 for r in Lineage(spark, idx).records() if r["stage"].startswith("append_stream")
     )
 
+    def measure_queries(tables):
+        topk(tables, "warmup scan", k=5).collect()
+        samples: dict[str, list[float]] = {name: [] for name, *_ in QUERY_SET}
+        for _ in range(3):
+            for name, qq, k, mode, fq in QUERY_SET:
+                t0 = time.time()
+                topk(tables, qq, k=k, mode=mode, fq=fq).collect()
+                samples[name].append(time.time() - t0)
+        qtimes = {name: round(statistics.median(s), 4) for name, s in samples.items()}
+        lat = sorted(qtimes.values())
+        return qtimes, lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)]
+
     tables = read_index(spark, idx)
-    topk(tables, "warmup scan", k=5).collect()
-    samples: dict[str, list[float]] = {name: [] for name, *_ in QUERY_SET}
-    for _ in range(3):
-        for name, qq, k, mode, fq in QUERY_SET:
-            t0 = time.time()
-            topk(tables, qq, k=k, mode=mode, fq=fq).collect()
-            samples[name].append(time.time() - t0)
-    qtimes = {name: round(statistics.median(s), 4) for name, s in samples.items()}
-    lat = sorted(qtimes.values())
-    p95 = lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)]
+    qtimes, p95 = measure_queries(tables)
+
+    # --- compaction pass (r4 VERDICT #5): merge the append segments and
+    # re-measure the same query set on the consolidated layout
+    from oni_indexer_spark.index import compact_index
+
+    t0 = time.time()
+    cmetrics = compact_index(idx, spark)
+    compact_sec = time.time() - t0
+    tables = read_index(spark, idx)
+    qtimes_c, p95_c = measure_queries(tables)
 
     # exactness: streamed-and-appended index vs a from-scratch rebuild
     full = build_index(docs, cfg)
@@ -134,6 +151,12 @@ def main() -> None:
                 "stream_docs_per_sec": round(n_stream / stream_sec, 2),
                 "queries": qtimes,
                 "query_p95_sec": p95,
+                "compact": {
+                    "compact_sec": round(compact_sec, 3),
+                    **cmetrics,
+                    "queries": qtimes_c,
+                    "query_p95_sec": p95_c,
+                },
                 "exact_vs_rebuild": exact,
             }
         )
