@@ -795,18 +795,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_resolve_fixpoint": _q_etl_fixpoint,
         "etl_resolve_json_facet": _q_etl_resolve_json,
         "dedup_minhash_sig": _q_minhash,
-        "etl_subgraph": _q_etl_subgraph,
+        "etl_validate_date": _q_etl_validate_date,
         # ---- tail: parameter variants / rows already driver-green in a
         # prior round's CORRECTNESS file — all stay DuckDB-oracled in
         # pytest (corpus_stats is implicit in every bm25 row;
         # year_published / reverse_location are C7/B15 second forms;
         # geofilt is beyond-§2 extra credit; the eight r5-rotated rows
-        # were green in r3 AND r4)
+        # were green in r3 AND r4; etl_subgraph swapped to tail for
+        # etl_validate_date — the last never-driver-verified entry)
         "corpus_stats": _q_stats,
         "etl_year_published": _q_etl_year,
         "etl_reverse_location": _q_etl_reverse,
         "etl_geofilt": _q_etl_geofilt,
-        "etl_validate_date": _q_etl_validate_date,
+        "etl_subgraph": _q_etl_subgraph,
         "etl_resolve_author": _q_etl_resolve,
         "etl_inherit_license": _q_etl_inherit,
         "etl_license_map": _q_etl_license_map,

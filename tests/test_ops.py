@@ -249,3 +249,28 @@ def test_ann_index_partition_pruned(spark, tmp_path):
     # radius-1 probing can only add candidates (recall >= single-bucket)
     wide = sim.ann_topk(spark, path, q, k=5, n_planes=4, probes_radius=1)
     assert wide.count() >= got.count()
+
+
+def test_shingle_plan_tokenizes_once(spark, docs):
+    """Pin the r5 scale fix: the shingle pipeline must evaluate the regex
+    tokenizer ONCE per doc. Inlining the tokenizer expression inside the
+    transform lambda re-evaluates it per sequence element (O(doc_len^2)
+    per doc — stuck-at-20-min at 1M docs); binding it to a named column
+    keeps it materialized (CollapseProject does not inline
+    multi-referenced non-cheap aliases)."""
+    from oni_indexer_spark.ops.dedup import _shingle_rows
+
+    plan = _shingle_rows(docs.select("doc_id", "content"), 3)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1, plan
+
+
+def test_repetition_plan_tokenizes_once(spark, docs):
+    from oni_indexer_spark.ops.text import repetition_score
+
+    plan = (
+        repetition_score(docs.select("doc_id", "content"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_extract_all") == 1, plan
