@@ -412,6 +412,54 @@ def _q_ann_indexed(spark, sf_dir):
     return ann_topk(spark, path, _QUERY_VEC, k=10, n_planes=4)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # IVF (coarse-quantizer) ANN: materialized list_id-partitioned index,
+    # probe = the nprobe nearest Voronoi cells (directory-pruned scan).
+    # Data-adaptive cells fix the hyperplane-LSH recall gap measured at
+    # 1M vecs (BENCH/llm_ops_1m_r05.json: 0.215@radius1).
+    import tempfile
+
+    from oni_indexer_spark.ops.similarity import build_ivf_index, ivf_index_topk
+
+    try:
+        src_tag = str(int(os.path.getmtime(f"{sf_dir}/embeddings.parquet")))
+    except OSError:
+        src_tag = "0"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "oni_entry_ivf_%s_%s" % (sf_dir.strip("/").replace("/", "_"), src_tag),
+    )
+    if not os.path.exists(os.path.join(path, "_ivf_centroids.json")):
+        build_ivf_index(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), path, nlist=8
+        )
+    return ivf_index_topk(spark, path, _QUERY_VEC, k=10, nprobe=2)
+
+
+def _q_dedup_cluster(spark, sf_dir):
+    # transitive closure of the LSH near-dup pairs: (doc_id, cluster_id)
+    # with cluster_id = component-min (alternating large-star/small-star;
+    # O(log² n) rounds regardless of chain diameter)
+    from oni_indexer_spark.ops.dedup import cluster_pairs_cc, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _content_docs(spark, sf_dir), n_hashes=12, bands=4, threshold=0.3
+    )
+    return cluster_pairs_cc(pairs)
+
+
+def _q_contamination(spark, sf_dir):
+    # benchmark-contamination detection (GPT-3 §C-style n-gram collision
+    # decontamination): benchmark = a deterministic slice of the corpus
+    # standing in for an eval suite; the benchmark shingle set rides a
+    # broadcast join, so the corpus side never shuffles its shingles
+    from oni_indexer_spark.ops.dedup import ngram_contamination
+
+    docs = _content_docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 3)
+    return ngram_contamination(docs, bench, n=5, min_hits=1)
+
+
 def _q_multimodal(spark, sf_dir):
     # scalar shape (feature exploded to (j, feature_val)) so the driver's
     # canonicalizer can sort/hash it; SQL-verified end to end.
@@ -749,8 +797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_facet_multi": _q_etl_facet_multi,
         "schema_dynamic_fields": _q_schema_dynamic_fields,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        # NEW r5: transitive closure of the LSH pairs (large-star/small-star)
+        "dedup_cluster_cc": _q_dedup_cluster,
         "sim_ann_lsh": _q_ann_lsh,
         "sim_ann_indexed": _q_ann_indexed,
+        # NEW r5: IVF coarse-quantizer ANN (data-adaptive Voronoi cells)
+        "sim_ann_ivf": _q_ann_ivf,
         "sim_cosine_pairs": _q_cosine_pairs,
         "multimodal_features": _q_multimodal,
         "bm25_hot_single": _q_bm25("the", k=10),
@@ -777,13 +829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copyfield_main_search": _q_copyfield,
         "dedup_exact": _q_dedup_exact,
         "corpus_deposit": _q_deposit,
-        "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
-        "text_fingerprint": _q_fingerprint,
+        # NEW r5: n-gram benchmark-contamination detection
+        "text_contamination": _q_contamination,
         "text_subword_count": _q_subword,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_jaccard,
-        "sim_cosine_topk": _q_cosine_topk,
         "etl_filter_type_regex": _q_etl_filter,
         "etl_resolve_via": _q_etl_resolve_via,
         "etl_via_includes": _q_etl_via_includes,
@@ -803,6 +854,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geofilt is beyond-§2 extra credit; the eight r5-rotated rows
         # were green in r3 AND r4; etl_subgraph swapped to tail for
         # etl_validate_date — the last never-driver-verified entry)
+        # sim_cosine_topk + text_lang_id + text_fingerprint (green r1-r4)
+        # rotated to tail to make window room for the NEW r5 ops
+        # dedup_cluster_cc + sim_ann_ivf + text_contamination
+        "sim_cosine_topk": _q_cosine_topk,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
         "corpus_stats": _q_stats,
         "etl_year_published": _q_etl_year,
         "etl_reverse_location": _q_etl_reverse,
@@ -880,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "text_subword_count": _ops_text.subword_count_sql(),
         "text_repetition": _ops_text.repetition_score_sql(),
         "text_pii_counts": _ops_text.pii_counts_sql(),
+        "text_contamination": _ops_dedup.ngram_contamination_sql(n=5, min_hits=1),
         "dedup_minhash_sig": _ops_dedup.minhash_signatures_sql(n_hashes=8),
         "dedup_simhash": _ops_dedup.simhash_sql(bits=16),
         "dedup_ngram_jaccard": _ops_dedup.jaccard_pairs_sql(n=3, threshold=0.2),
@@ -913,6 +971,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ops_dedup.minhash_lsh_pairs_sql(
             n_hashes=12, bands=4, threshold=0.3
         ),
+        # transitive closure over the SAME pairs query, as a recursive CTE
+        "dedup_cluster_cc": _ops_dedup.cluster_cc_sql(
+            _ops_dedup.minhash_lsh_pairs_sql(n_hashes=12, bands=4, threshold=0.3)
+        ),
+        # the materialized IVF index returns the same rows as the inline
+        # assignment+probe, which DuckDB replays from the same table
+        "sim_ann_ivf": _ops_sim.ivf_topk_sql(_QUERY_VEC, k=10, nlist=8, nprobe=2),
         "sim_ann_lsh": _ops_sim.lsh_bucket_topk_sql(_QUERY_VEC, k=10, n_planes=4),
         # the materialized index returns the same rows as the inline probe
         "sim_ann_indexed": _ops_sim.lsh_bucket_topk_sql(_QUERY_VEC, k=10, n_planes=4),

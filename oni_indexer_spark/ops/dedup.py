@@ -386,3 +386,234 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM toksd GROUP BY doc_id, term),
 s AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
 SELECT doc_id, {sig} AS simhash FROM s
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Connected-component clustering over near-duplicate PAIRS — the step a
+# real curation pipeline runs after LSH: pairs say "A~B, B~C"; the keep/
+# drop decision needs the transitive closure {A,B,C} with one canonical
+# representative. (The reference's Solr-side dedup stops at overwrite-
+# by-id; clustering is part of the LLM-pipeline extension surface.)
+#
+# Default algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris,
+# Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+# MapReduce and Beyond", SoCC 2014): each round is two groupBy-min +
+# explode passes over the edge list; converges in O(log² n) rounds
+# w.h.p. REGARDLESS of component diameter — the property that matters at
+# 100 TB, where near-dup chains (A~B~C~… boilerplate drift) defeat
+# plain label propagation (O(diameter) rounds). ``algorithm="minlabel"``
+# keeps the simple propagation path for cross-checking; tests assert
+# both match a union-find reference on random graphs (hypothesis).
+# ---------------------------------------------------------------------------
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set canonicalized to (hi, lo) with hi > lo."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every STRICTLY LARGER neighbor to
+    m = min(Γ(u) ∪ {u}). Emitted as canonical (hi, lo) pairs."""
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    joined = sym.join(m, "u").where(F.col("v") > F.col("u"))
+    return _canon_edges(joined.select(F.col("v").alias("u"), F.col("m").alias("v")))
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node hi over its smaller neighbors N = {lo}: connect
+    every lo and hi itself to m = min(N) (m ≤ every lo < hi)."""
+    m = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    to_lo = edges.join(m, "hi").select(F.col("lo").alias("u"), F.col("m").alias("v"))
+    to_hi = m.select(F.col("hi").alias("u"), F.col("m").alias("v"))
+    return _canon_edges(to_lo.unionByName(to_hi))
+
+
+def cluster_pairs_cc(
+    pairs: DataFrame,
+    algorithm: str = "star",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc appearing in ``pairs``
+    (cols doc_a, doc_b): cluster_id = the MINIMUM doc_id of the
+    connected component (deterministic canonical representative —
+    the same keep-min convention as :func:`exact_dedup`). Docs in no
+    pair are untouched (singleton handling belongs to the caller's
+    anti-join). Iterations run driver-side with a one-row convergence
+    aggregate per round; every data-sized operation is a groupBy/join."""
+    edges = _canon_edges(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).persist()
+
+    def _sig(e: DataFrame):
+        # order-insensitive edge-set signature: one aggregate row
+        # pmod keeps the per-row term < 2^31 so the ANSI-mode long sum
+        # cannot overflow below ~4e9 edges (order-insensitive either way)
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(2**31))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    if algorithm == "star":
+        prev = _sig(edges)
+        for _ in range(max_iters):
+            # localCheckpoint (same discipline as etl.resolve_fixpoint):
+            # each round references the previous edge set ~6x (sym union,
+            # groupBy-min, join), so without cutting lineage the logical
+            # plan grows ~6^rounds and analysis dominates. On a real
+            # cluster swap for a reliable checkpoint dir (executor-loss
+            # safety); the algorithm is unchanged.
+            nxt = _small_star(_large_star(edges)).localCheckpoint()
+            cur = _sig(nxt)
+            edges.unpersist()
+            edges = nxt
+            if cur == prev:
+                break
+            prev = cur
+        # at fixpoint every edge is (node, component-min); the minima
+        # themselves appear only on the lo side
+        labels = edges.select(
+            F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id")
+        )
+        roots = (
+            edges.select(F.col("lo").alias("doc_id"))
+            .distinct()
+            .join(labels.select(F.col("doc_id")), "doc_id", "left_anti")
+            .withColumn("cluster_id", F.col("doc_id"))
+        )
+        out = labels.unionByName(roots)
+        return out.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    lab = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("u").alias("lbl"))
+        .persist()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = (
+            sym.join(lab, sym["u"] == lab["doc_id"])
+            .select(F.col("v").alias("doc_id"), F.col("lbl"))
+            .unionByName(lab.select("doc_id", "lbl"))
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()  # cut the growing lineage each round
+        )
+        s = prop.agg(
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("doc_id", "lbl"), F.lit(2**31))), F.lit(0)
+            ).alias("s")
+        ).collect()[0]["s"]
+        lab.unpersist()
+        lab = prop
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return lab.select("doc_id", F.col("lbl").cast("long").alias("cluster_id"))
+
+
+def cluster_cc_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`cluster_pairs_cc`: BFS of component-min
+    labels as a recursive CTE over the SAME pairs query (UNION dedups
+    the frontier, so the recursion is bounded by Σ|component|²)."""
+    return f"""
+WITH RECURSIVE p AS (
+{pairs_sql}
+),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM p
+),
+reach(u, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.u
+)
+SELECT u AS doc_id, min(l)::bigint AS cluster_id FROM reach GROUP BY u
+""".strip()
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection: per training doc, how many of
+    its distinct word n-grams also occur in ``benchmark`` (the test-set
+    decontamination step of GPT-3 §C / PaLM / Llama training reports —
+    n-gram collision against the eval suites, here n-gram-exact).
+
+    Returns (doc_id, n_collisions, contaminated) for EVERY doc (zero
+    rows kept — the downstream filter wants the clean set, not just the
+    dirty one). Scale shape: the benchmark side is eval suites — a few
+    MB against a 100 TB corpus — so its distinct-shingle set rides a
+    BROADCAST hash join (no shuffle of the corpus shingle stream); the
+    only wide op is the per-doc count aggregation."""
+    doc_sh = _shingle_rows(docs, n)
+    bench_sh = _shingle_rows(benchmark, n).select("shingle").distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("n_collisions"),
+            (F.coalesce(F.col("hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def ngram_contamination_sql(
+    n: int = 5,
+    min_hits: int = 1,
+    table: str = "documents",
+    text: str = "text",
+    benchmark_where: str = "doc_id % 20 = 3",
+) -> str:
+    """DuckDB twin of :func:`ngram_contamination` with the benchmark
+    drawn as a deterministic slice of the same table (the oracle's
+    self-contained stand-in for an external eval suite)."""
+    return f"""
+WITH t AS (SELECT doc_id, {duckdb_tokens_sql(text)} AS toks FROM {table}),
+dsh AS (SELECT doc_id, unnest({shingles_sql(text, n)}) AS shingle FROM t),
+bt AS (SELECT doc_id, {duckdb_tokens_sql(text)} AS toks FROM {table} WHERE {benchmark_where}),
+bsh AS (SELECT DISTINCT unnest({shingles_sql(text, n)}) AS shingle FROM bt),
+hits AS (
+  SELECT d.doc_id, count(*) AS hits
+  FROM dsh d JOIN bsh USING (shingle)
+  GROUP BY d.doc_id
+),
+base AS (SELECT doc_id FROM {table})
+SELECT base.doc_id,
+       coalesce(hits.hits, 0)::bigint AS n_collisions,
+       coalesce(hits.hits, 0) >= {min_hits} AS contaminated
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+""".strip()
