@@ -24,6 +24,7 @@ from oni_indexer_spark.corpus import from_driver_documents
 from oni_indexer_spark.etl import oracle as _etl_oracle
 from oni_indexer_spark.ops import dedup as _ops_dedup
 from oni_indexer_spark.ops import multimodal as _mm
+from oni_indexer_spark.ops import sampling as _ops_sampling
 from oni_indexer_spark.ops import similarity as _ops_sim
 from oni_indexer_spark.ops import text as _ops_text
 from oni_indexer_spark.index import IndexConfig, IndexTables
@@ -448,6 +449,32 @@ def _q_dedup_cluster(spark, sf_dir):
     return cluster_pairs_cc(pairs)
 
 
+def _q_sample_split(spark, sf_dir):
+    # deterministic leakage-free train/val/test assignment by hash bucket
+    from oni_indexer_spark.ops.sampling import split_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_by_hash(docs, val_frac=0.05, test_frac=0.05)
+
+
+def _q_sample_mixture(spark, sf_dir):
+    # reproducible per-source downsampling to a training-mixture recipe
+    from oni_indexer_spark.ops.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs, {"src1": 1.0, "src2": 0.5, "src3": 0.25}, default_rate=0.1
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    # concat-and-chunk sequence packing: per-shard windowed cumsum, no
+    # global-order bottleneck (shard = hash bucket)
+    from oni_indexer_spark.ops.sampling import pack_sequences
+
+    return pack_sequences(_content_docs(spark, sf_dir), budget=512, n_shards=4)
+
+
 def _q_contamination(spark, sf_dir):
     # benchmark-contamination detection (GPT-3 §C-style n-gram collision
     # decontamination): benchmark = a deterministic slice of the corpus
@@ -825,13 +852,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_content_multi": _q_facet_multi_counts,
         "facet_lang": _q_facet_lang,
         "facet_repo": _q_facet_repo,
-        "id_lookup": _q_id_lookup,
         "copyfield_main_search": _q_copyfield,
         "dedup_exact": _q_dedup_exact,
-        "corpus_deposit": _q_deposit,
-        "text_quality": _q_quality,
         # NEW r5: n-gram benchmark-contamination detection
         "text_contamination": _q_contamination,
+        # NEW r5: deterministic split / mixture sampling / seq packing
+        "sample_split": _q_sample_split,
+        "sample_mixture": _q_sample_mixture,
+        "pack_sequences": _q_pack_sequences,
         "text_subword_count": _q_subword,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_jaccard,
@@ -854,12 +882,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geofilt is beyond-§2 extra credit; the eight r5-rotated rows
         # were green in r3 AND r4; etl_subgraph swapped to tail for
         # etl_validate_date — the last never-driver-verified entry)
-        # sim_cosine_topk + text_lang_id + text_fingerprint (green r1-r4)
-        # rotated to tail to make window room for the NEW r5 ops
-        # dedup_cluster_cc + sim_ann_ivf + text_contamination
+        # sim_cosine_topk, text_lang_id, text_fingerprint, text_quality,
+        # id_lookup, corpus_deposit (all green ≥3 rounds, r1-r4) rotated
+        # to tail to make window room for the six NEW r5 ops:
+        # dedup_cluster_cc, sim_ann_ivf, text_contamination,
+        # sample_split, sample_mixture, pack_sequences
         "sim_cosine_topk": _q_cosine_topk,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "text_quality": _q_quality,
+        "id_lookup": _q_id_lookup,
+        "corpus_deposit": _q_deposit,
         "corpus_stats": _q_stats,
         "etl_year_published": _q_etl_year,
         "etl_reverse_location": _q_etl_reverse,
@@ -938,6 +971,11 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _ops_text.repetition_score_sql(),
         "text_pii_counts": _ops_text.pii_counts_sql(),
         "text_contamination": _ops_dedup.ngram_contamination_sql(n=5, min_hits=1),
+        "sample_split": _ops_sampling.split_by_hash_sql(val_frac=0.05, test_frac=0.05),
+        "sample_mixture": _ops_sampling.mixture_sample_sql(
+            {"src1": 1.0, "src2": 0.5, "src3": 0.25}, default_rate=0.1
+        ),
+        "pack_sequences": _ops_sampling.pack_sequences_sql(budget=512, n_shards=4),
         "dedup_minhash_sig": _ops_dedup.minhash_signatures_sql(n_hashes=8),
         "dedup_simhash": _ops_dedup.simhash_sql(bits=16),
         "dedup_ngram_jaccard": _ops_dedup.jaccard_pairs_sql(n=3, threshold=0.2),

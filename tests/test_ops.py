@@ -453,3 +453,82 @@ def test_ngram_contamination_broadcasts_benchmark(spark, driver_docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Sampling / split / sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_split_by_hash_matches_oracle(spark, con):
+    from oni_indexer_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    _cmp(
+        sampling.split_by_hash(docs, val_frac=0.05, test_frac=0.05),
+        con,
+        sampling.split_by_hash_sql(val_frac=0.05, test_frac=0.05),
+    )
+
+
+def test_split_deterministic_and_disjoint(spark):
+    from oni_indexer_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in sampling.split_by_hash(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.split_by_hash(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    # a different salt reassigns (the leakage-avoidance knob works)
+    c = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_by_hash(docs, salt="other").collect()
+    }
+    assert c != a
+
+
+def test_mixture_sample_matches_oracle(spark, con):
+    from oni_indexer_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rates = {"src1": 1.0, "src2": 0.5, "src3": 0.25}
+    _cmp(
+        sampling.mixture_sample(docs, rates, default_rate=0.1),
+        con,
+        sampling.mixture_sample_sql(rates, default_rate=0.1),
+    )
+    # rate 1.0 keeps every doc of that source
+    kept = sampling.mixture_sample(docs, rates, default_rate=0.1)
+    from pyspark.sql import functions as F
+
+    n_src1_all = docs.where(F.col("source") == "src1").count()
+    n_src1_kept = kept.where(F.col("source") == "src1").count()
+    assert n_src1_kept == n_src1_all
+
+
+def test_pack_sequences_matches_oracle(spark, con, driver_docs):
+    from oni_indexer_spark.ops import sampling
+
+    _cmp(
+        sampling.pack_sequences(driver_docs, budget=512, n_shards=4),
+        con,
+        sampling.pack_sequences_sql(budget=512, n_shards=4),
+    )
+
+
+def test_pack_sequences_invariants(spark, driver_docs):
+    from oni_indexer_spark.ops import sampling
+
+    rows = sampling.pack_sequences(driver_docs, budget=512, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            # offsets are the exact concat positions in doc_id order
+            assert r["start_offset"] == off
+            # a doc belongs to the sequence where it starts
+            assert r["seq_id"] == off // 512
+            off += r["n_tokens"]
