@@ -807,14 +807,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries only (observed r2 cap). Every distinct operator either
     # sits in the top 50 or has held a driver-green row in a prior
     # round's CORRECTNESS file; the tail stays pytest-oracled via
-    # tests/test_entry_contract.py. Round-5 rotation (r4 VERDICT #2/#6):
-    # text_repetition, text_pii_counts, the compaction row, and four
-    # never-driver-verified parameter variants rotate IN; eight
-    # twice-verified (r3+r4 green) rows rotate to the tail
-    # (etl_resolve_author/_single, etl_uri_id, etl_license_map,
-    # etl_inherit_license, etl_facet_tokenize, etl_unwrap_json,
-    # etl_ingest_edges — operators B11/B13/B21/B17/B16/B20/B7/A2 keep
-    # in-window coverage via their sibling forms or prior green rows).
+    # tests/test_entry_contract.py. Round-5 rotation (r4 VERDICT #2/#6
+    # plus the six NEW r5 ops): IN = text_repetition, text_pii_counts,
+    # bm25_compacted_topk, bm25_phrase, four never-driver-verified
+    # parameter variants + etl_validate_date, dedup_cluster_cc,
+    # sim_ann_ivf, text_contamination, sample_split, sample_mixture,
+    # pack_sequences. OUT to tail = fourteen rows green in 2-4 prior
+    # rounds (each displaced operator keeps in-window coverage via a
+    # sibling form or its prior green rows).
     return {
         "bm25_or_topk": _q_bm25("hash join", k=10),
         "bm25_compacted_topk": _q_compacted_topk,

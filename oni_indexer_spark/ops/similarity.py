@@ -496,8 +496,9 @@ def ivf_topk_sql(
     """DuckDB twin of :func:`ivf_topk` with sample-init centroids: the
     centroids are re-derived from the same table (vec_id < nlist), the
     argmax assignment is a cross-join + row_number over the identical
-    rounded left-fold cosine, and the probe set is the same driver
-    arithmetic inlined as literals."""
+    rounded left-fold cosine, and the probe set is computed in SQL by
+    the same rounded-cosine ranking the Spark driver performs in
+    :func:`ivf_probe_lists` (same fold order, same tie-break)."""
     pair_dot = (
         "list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, c.cvec),"
         " s -> s[1]::double * s[2]::double)), (x,y) -> x+y)"

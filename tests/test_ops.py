@@ -532,3 +532,24 @@ def test_pack_sequences_invariants(spark, driver_docs):
             # a doc belongs to the sequence where it starts
             assert r["seq_id"] == off // 512
             off += r["n_tokens"]
+
+
+def test_sampling_plan_shapes(spark, driver_docs):
+    # scale pins: split/mixture ride the scan (zero Exchange);
+    # pack_sequences pays exactly ONE Exchange (the per-shard window)
+    from oni_indexer_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for df in (
+        sampling.split_by_hash(docs),
+        sampling.mixture_sample(docs, {"src1": 0.5}),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    plan = (
+        sampling.pack_sequences(driver_docs, budget=512, n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
