@@ -296,6 +296,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ops_dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-document duplicated-substring removal (Lee et al. 2022
+    # semantics, distributed as duplicated-n-gram coverage union)
+    return _ops_dedup.span_dedup(_content_docs(spark, sf_dir), n=10)
+
+
 _QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 
 
@@ -812,9 +818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bm25_compacted_topk, bm25_phrase, four never-driver-verified
     # parameter variants + etl_validate_date, dedup_cluster_cc,
     # sim_ann_ivf, text_contamination, sample_split, sample_mixture,
-    # pack_sequences. OUT to tail = fourteen rows green in 2-4 prior
-    # rounds (each displaced operator keeps in-window coverage via a
-    # sibling form or its prior green rows).
+    # pack_sequences, dedup_span_remove. OUT to tail = fifteen rows
+    # green in 2-4 prior rounds (each displaced operator keeps
+    # in-window coverage via a sibling form or its prior green rows).
     return {
         "bm25_or_topk": _q_bm25("hash join", k=10),
         "bm25_compacted_topk": _q_compacted_topk,
@@ -853,7 +859,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": _q_facet_lang,
         "facet_repo": _q_facet_repo,
         "copyfield_main_search": _q_copyfield,
-        "dedup_exact": _q_dedup_exact,
+        # NEW r5 (late): cross-doc duplicated-substring removal
+        # (Lee et al. 2022 exact-substring dedup, suffix-array-free);
+        # takes dedup_exact's window slot — exact dedup is green r1-r4
+        # and keeps family coverage via five sibling window rows
+        "dedup_span_remove": _q_span_dedup,
         # NEW r5: n-gram benchmark-contamination detection
         "text_contamination": _q_contamination,
         # NEW r5: deterministic split / mixture sampling / seq packing
@@ -875,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_resolve_json_facet": _q_etl_resolve_json,
         "dedup_minhash_sig": _q_minhash,
         "etl_validate_date": _q_etl_validate_date,
+        "dedup_exact": _q_dedup_exact,
         # ---- tail: parameter variants / rows already driver-green in a
         # prior round's CORRECTNESS file — all stay DuckDB-oracled in
         # pytest (corpus_stats is implicit in every bm25 row;
@@ -954,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, concat_ws(' ', source, lang, text) AS main_search "
             "FROM documents"
         ),
+        "dedup_span_remove": _ops_dedup.span_dedup_sql(n=10),
         "dedup_exact": (
             "SELECT sha256(text) AS content_sha256, min(doc_id) AS keep_doc_id, "
             "count(*)::bigint AS n_copies FROM documents GROUP BY sha256(text)"

@@ -617,3 +617,131 @@ SELECT base.doc_id,
        coalesce(hits.hits, 0) >= {min_hits} AS contaminated
 FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
 """.strip()
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    text_col: str = "content",
+) -> DataFrame:
+    """Cross-document duplicated-substring removal (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better": delete every substring of >= n tokens that also occurs in
+    another document, keeping one copy).
+
+    Suffix-array-free distributed re-expression. The key identity: a
+    token position lies inside a cross-document duplicated substring of
+    length >= n IFF it is covered by at least one duplicated n-gram —
+    a maximal duplicated substring of length M >= n is exactly the
+    coverage union of its M-n+1 duplicated n-grams. That collapses the
+    sequential suffix array into word-count-shaped dataflow:
+
+    1. explode (doc_id, start, xxhash64(n-gram)) — 8-byte gram keys
+       through the shuffle, never gram strings (the tid trick);
+    2. one groupBy gram hash -> (distinct-doc count, min-doc_id owner);
+    3. join flagged grams (doc count >= min_docs) back to occurrences —
+       the flagged side is bounded by total-occurrences/min_docs, so
+       AQE broadcasts it in the common case; non-owner occurrences
+       aggregate to one sorted start-offset array per doc;
+    4. rebuild: a positional F.filter keeps tokens outside every
+       [s, s+n) window — pure codegen column expressions, no UDF.
+
+    Keep-one-copy is deterministic: the min-doc_id occurrence of each
+    duplicated gram survives (Lee et al. keep an arbitrary one).
+    Within-document repetition is out of scope (that is
+    ``repetition_score``'s domain). Returns
+    (doc_id, n_tokens, n_removed, text_clean) for EVERY doc.
+    """
+    toks = docs.select("doc_id", tokens_col(text_col).alias("toks"))
+    gram_hashes = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = toks.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos0", "gram_h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "gram_h")
+    flagged = (
+        occ.groupBy("gram_h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("owner"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("gram_h", "owner")
+    )
+    starts = (
+        occ.join(flagged, "gram_h")
+        .where(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("starts"))
+    )
+    bound = toks.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(
+            F.col("starts"), lambda s: (s <= i + 1) & (i + 1 < s + n)
+        ),
+    )
+    return bound.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_clean"),
+    )
+
+
+def span_dedup_sql(
+    n: int = 10,
+    min_docs: int = 2,
+    table: str = "documents",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`span_dedup`: grams grouped by STRING (the
+    oracle re-derives what the engine keys by xxhash64), coverage via
+    the same [s, s+n) window union, rebuild via a position-filtered
+    list_transform. DuckDB list slices are 1-based inclusive-inclusive:
+    toks[s : s+n-1] is exactly n tokens."""
+    return f"""
+WITH t AS (SELECT doc_id, {duckdb_tokens_sql(text)} AS toks FROM {table}),
+o AS (
+  SELECT doc_id, unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS s, toks
+  FROM t
+),
+g AS (SELECT doc_id, s, array_to_string(toks[s:s+{n - 1}], ' ') AS gram FROM o),
+gs AS (
+  SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+  FROM g GROUP BY gram
+),
+rem AS (
+  SELECT g.doc_id, g.s
+  FROM g JOIN gs USING (gram)
+  WHERE gs.nd >= {min_docs} AND g.doc_id <> gs.owner
+),
+pd AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS starts FROM rem GROUP BY doc_id),
+k AS (
+  SELECT t.doc_id, t.toks,
+         list_transform(
+           list_filter(range(1, len(t.toks) + 1),
+             p -> len(list_filter(coalesce(pd.starts, []),
+                      s2 -> s2 <= p AND p < s2 + {n})) = 0),
+           p -> t.toks[p]) AS kept
+  FROM t LEFT JOIN pd USING (doc_id)
+)
+SELECT doc_id,
+       len(toks)::bigint AS n_tokens,
+       (len(toks) - len(kept))::bigint AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS text_clean
+FROM k
+""".strip()

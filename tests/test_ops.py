@@ -553,3 +553,68 @@ def test_sampling_plan_shapes(spark, driver_docs):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_span_dedup_semantics(spark):
+    # doc 1 owns the shared 5-gram "a b c d e"; doc 2 loses exactly the
+    # 5 covered positions; unique and too-short docs are untouched
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e q r s"),
+        (3, "p q r s t"),
+        (4, "short one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in dedup.span_dedup(docs, n=5).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == "a b c d e f g h"
+    assert out[2]["n_removed"] == 5 and out[2]["text_clean"] == "x y q r s"
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 5
+    assert out[4]["n_removed"] == 0 and out[4]["n_tokens"] == 2
+
+
+def test_span_dedup_overlap_coverage(spark):
+    # doc 2 duplicates a 7-token run of doc 1: its three overlapping
+    # duplicated 5-grams must union to 7 removed positions, not 15 —
+    # i.e. coverage union == Lee et al.'s "substring of length >= n"
+    rows = [
+        (1, "m1 m2 u v w x y z a1 a2"),
+        (2, "k1 u v w x y z a1 k2 k3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in dedup.span_dedup(docs, n=5).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 7
+    assert out[2]["text_clean"] == "k1 k2 k3"
+
+
+def test_span_dedup_oracle(driver_docs, con):
+    _cmp(dedup.span_dedup(driver_docs, n=10), con, dedup.span_dedup_sql(n=10))
+
+
+def test_span_dedup_removes_injected_dups(driver_docs):
+    # the sf corpus carries injected near-duplicates: the op must find
+    # real cross-doc spans, and every fully-removed doc must be a doc
+    # whose whole text re-occurs inside some earlier doc
+    out = dedup.span_dedup(driver_docs, n=10)
+    assert out.where("n_removed > 0").count() > 0
+    full = [r["doc_id"] for r in out.where("n_removed = n_tokens AND n_tokens > 0").collect()]
+    if full:
+        texts = {r["doc_id"]: r["content"] for r in driver_docs.collect()}
+        for d in full[:3]:
+            assert any(
+                texts[d] in t for i, t in texts.items() if i < d
+            ), f"doc {d} fully removed but no earlier superstring"
+
+
+def test_span_dedup_plan_shape(spark, driver_docs):
+    # distributed shape: no cartesian product, no Python row UDF — the
+    # rebuild is codegen'd higher-order filters, the only wide ops are
+    # the gram-hash aggregation and the per-doc start aggregation
+    plan = (
+        dedup.span_dedup(driver_docs, n=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
