@@ -19,7 +19,14 @@ before+after). exact_vs_rebuild runs against the COMPACTED index — the
 full pipeline (stream → append segments → merge) must stay
 rank/rounded-score-identical to a from-scratch build over base+streamed.
 
+With --compact-every K, streaming instead runs the INLINE
+background-merge policy (stream_index(compact_every=K)): merges are
+amortized into the ingest, the post-hoc compaction pass is skipped
+(only a final catch-up merge if segments remain), and stream_sec shows
+the policy's amortized cost directly.
+
 Usage: python scripts/bench_stream.py [--base 100000] [--stream 100000]
+       [--compact-every K]
 """
 
 from __future__ import annotations
@@ -43,6 +50,9 @@ def main() -> None:
         n_base = int(sys.argv[sys.argv.index("--base") + 1])
     if "--stream" in sys.argv:
         n_stream = int(sys.argv[sys.argv.index("--stream") + 1])
+    compact_every = None
+    if "--compact-every" in sys.argv:
+        compact_every = int(sys.argv[sys.argv.index("--compact-every") + 1])
 
     from pyspark.sql import functions as F
 
@@ -88,7 +98,9 @@ def main() -> None:
         .parquet(src)
     )
     t0 = time.time()
-    q = stream_index(stream, idx, os.path.join(gen, "ckpt"))
+    q = stream_index(
+        stream, idx, os.path.join(gen, "ckpt"), compact_every=compact_every
+    )
     q.awaitTermination()
     stream_sec = time.time() - t0
 
@@ -118,7 +130,9 @@ def main() -> None:
     from oni_indexer_spark.index import compact_index
 
     t0 = time.time()
-    cmetrics = compact_index(idx, spark)
+    cmetrics = compact_index(idx, spark) if not compact_every else (
+        compact_index(idx, spark, batch_id="final") or {}
+    )
     compact_sec = time.time() - t0
     tables = read_index(spark, idx)
     qtimes_c, p95_c = measure_queries(tables)
@@ -147,6 +161,12 @@ def main() -> None:
                 "n_base": n_base,
                 "n_stream": n_stream,
                 "n_batches": n_batches,
+                "compact_every": compact_every,
+                "n_auto_compactions": sum(
+                    1
+                    for r in Lineage(spark, idx).records()
+                    if r["stage"].startswith("compact_auto")
+                ),
                 "stream_sec": round(stream_sec, 3),
                 "stream_docs_per_sec": round(n_stream / stream_sec, 2),
                 "queries": qtimes,

@@ -163,3 +163,40 @@ def test_compact_then_append_continues(spark, docs, split_docs):
     full = build_index(docs, CFG)
     for q in QUERIES:
         assert _rows(topk(appended, q, k=10)) == _rows(topk(full, q, k=10)), q
+
+
+def test_stream_auto_compaction(spark, docs, split_docs, tmp_path):
+    """compact_every: the background-merge policy must fire once enough
+    streamed segments accumulate, consolidate them, and leave every
+    answer identical to a full rebuild."""
+    from oni_indexer_spark.index import lineage as L
+    from oni_indexer_spark.streaming import stream_index
+
+    a, b, c = split_docs
+    src = str(tmp_path / "stream_src")
+    # 1-file micro-batches -> one append segment per file
+    for part in (
+        b.where(F.col("doc_id") < 350),
+        b.where(F.col("doc_id") >= 350),
+        c.where(F.col("doc_id") < 450),
+        c.where(F.col("doc_id") >= 450),
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+    p = str(tmp_path / "idx")
+    build_to_path(a, p, CFG, bucket_group_size=8)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_index(stream, p, str(tmp_path / "ckpt"), compact_every=2)
+    q.awaitTermination(180)
+
+    recs = L.Lineage(spark, p).records()
+    compacts = [r for r in recs if r["stage"].startswith("compact_auto")]
+    assert len(compacts) >= 2, [r["stage"] for r in recs]
+    merged = read_index(spark, p)
+    full = build_index(docs, CFG)
+    for qq in QUERIES:
+        assert _rows(topk(merged, qq, k=10)) == _rows(topk(full, qq, k=10)), qq
