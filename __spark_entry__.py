@@ -886,6 +886,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _q_minhash,
         "etl_validate_date": _q_etl_validate_date,
         "dedup_exact": _q_dedup_exact,
+        # phrase x fq composition (r5 late fix: phrase mode previously
+        # ignored fq; now composes like OR/AND — parameter variant,
+        # pytest-oracled at the tail)
+        "bm25_phrase_fq": _q_bm25(
+            "hash join", k=10, mode="phrase", fq={"lang": "en"}, positions=True
+        ),
         # ---- tail: parameter variants / rows already driver-green in a
         # prior round's CORRECTNESS file — all stay DuckDB-oracled in
         # pytest (corpus_stats is implicit in every bm25 row;
@@ -930,6 +936,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_zero_result": oracle.bm25_topk_sql("zzz_not_in_corpus", k=10),
         "bm25_k100": oracle.bm25_topk_sql("the scan", k=100),
         "bm25_phrase": oracle.bm25_phrase_topk_sql("hash join", k=10),
+        "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
+            "hash join", k=10, fq_lang="en"
+        ),
         "bm25_pruned_topk": oracle.bm25_topk_sql("the scan join", k=10),
         "bm25_text_en": oracle.bm25_topk_sql(
             "the hash joins", k=10, analyzer="text_en"

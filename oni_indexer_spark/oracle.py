@@ -88,6 +88,7 @@ def bm25_phrase_topk_sql(
     table: str = "documents",
     text_col: str = "text",
     analyzer: str = "code",
+    fq_lang: str | None = None,
 ) -> str:
     """Phrase-query oracle (Lucene ``PhraseQuery`` semantics, mirrored by
     ``Searcher._phrase_topk``): phrase frequency = count of start
@@ -101,6 +102,12 @@ def bm25_phrase_topk_sql(
         f"toks[i+{j}] = '" + t.replace("'", "''") + "'" for j, t in enumerate(qtoks)
     )
     distinct = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(qtoks)))
+    # Solr fq semantics: restrict results only; idf/avgdl stay corpus-wide
+    fq_pred = (
+        f"AND pf.doc_id IN (SELECT doc_id FROM {table} WHERE lang = '{fq_lang}')"
+        if fq_lang
+        else ""
+    )
     return f"""
 WITH base AS (
   SELECT doc_id, {toks} AS toks FROM {table}
@@ -130,7 +137,7 @@ scored AS (
   JOIN dl USING (doc_id)
   CROSS JOIN stats s
   CROSS JOIN idfsum i
-  WHERE pf.pf > 0
+  WHERE pf.pf > 0 {fq_pred}
 ),
 ranked AS (
   SELECT doc_id, score,

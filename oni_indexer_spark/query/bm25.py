@@ -353,6 +353,7 @@ def _make_decode_phrase_group_arrow(
     k1: float,
     b: float,
     k: int | None,
+    allowed_bc=None,
 ):
     """Phrase scorer factory (Lucene ``PhraseQuery`` semantics over the
     v5 positional blobs): rows are (tid, block_id, block_min_dl, n,
@@ -434,6 +435,12 @@ def _make_decode_phrase_group_arrow(
             dl = slot_dl[hit_slots]
             s = idf_sum * ((pff * (k1 + 1.0)) / (pff + k1 * (1.0 - b + b * dl / avgdl)))
             out_docs = grp_base[hit_slots // block_size] + (hit_slots % block_size)
+            if allowed_bc is not None:
+                # fq pushed into the worker: filter BEFORE candidate
+                # selection (same contract as the OR scorer)
+                out_docs, s = _membership_filter(allowed_bc.value, out_docs, s)
+                if out_docs.size == 0:
+                    return None
             if k is not None and s.size > k:
                 kth = np.partition(s, s.size - k)[s.size - k]
                 keep = s >= (np.round(kth, 6) - 1e-6)
@@ -804,7 +811,7 @@ class Searcher:
 
         self._check_external_staleness()
         if mode == "phrase":
-            return self._phrase_topk(query, k)
+            return self._phrase_topk(query, k, fq=fq)
         tables = self.tables
         terms = query_terms(query, tables.cfg.analyzer)
         if not terms:
@@ -845,7 +852,9 @@ class Searcher:
             k,
         )
 
-    def _phrase_topk(self, query: str, k: int) -> DataFrame:
+    def _phrase_topk(
+        self, query: str, k: int, fq: dict[str, str] | None = None
+    ) -> DataFrame:
         """Quoted-phrase top-k (Solr/Lucene ``PhraseQuery`` over
         ``main_search`` — the query shape ``portal_base.json:18-23``
         serves that the OR/AND engine couldn't). Needs an index built
@@ -859,7 +868,13 @@ class Searcher:
         compressed blobs by block_id → numpy decode + position
         intersection + per-batch candidate top-k → TakeOrdered. No
         block-max pruning (the OR bound is valid but pass-1 would need
-        phrase scoring of candidate blocks to set τ — future work)."""
+        phrase scoring of candidate blocks to set τ — future work).
+
+        ``fq`` composes exactly as in the OR/AND path (Solr: fq
+        restricts results, stats untouched): selective filters ship as
+        a broadcast sorted doc_id array into the scorer so per-batch
+        candidate selection stays on; unselective filters disable
+        selection and apply as a doclen semi-join after scoring."""
         import math
 
         tables = self.tables
@@ -875,13 +890,19 @@ class Searcher:
         qtoks = analyzer_tokenize_py(query, cfg.analyzer)
         if not qtoks:
             return _empty_result(tables)
+        allowed_bc = None
+        if fq is not None:
+            fq_count, allowed_bc = self._fq_allowed(fq)
+            if fq_count == 0:
+                return _empty_result(tables)
         n_docs, avgdl = self.stats()
         distinct = sorted(set(qtoks))
         dfs = self.term_dfs(distinct)
         if len(dfs) < len(distinct):
             return _empty_result(tables)  # a missing term → no phrase match
         if len(qtoks) == 1:
-            return self.topk(query, k=k, mode="or")  # Lucene's 1-term rewrite
+            # Lucene's 1-term rewrite (fq rides along unchanged)
+            return self.topk(query, k=k, mode="or", fq=fq)
         idf = {
             t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
         }
@@ -901,10 +922,19 @@ class Searcher:
         )
         scored = co.mapInArrow(
             _make_decode_phrase_group_arrow(
-                cfg.block_size, tid_offsets, idf_sum, float(avgdl), cfg.k1, cfg.b, k
+                cfg.block_size, tid_offsets, idf_sum, float(avgdl), cfg.k1, cfg.b,
+                # same rule as _scores: only keep per-batch candidate
+                # selection on when the filter runs in-worker
+                k if (fq is None or allowed_bc is not None) else None,
+                allowed_bc=allowed_bc,
             ),
             "doc_id long, score double",
         )
+        if fq and allowed_bc is None:
+            keep = tables.doclen
+            for c, v in fq.items():
+                keep = keep.where(F.col(c) == v)
+            scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
         return _ranked(scored, k)
 
 

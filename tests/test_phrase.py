@@ -139,3 +139,38 @@ def test_positional_disk_roundtrip_and_mutators(spark, docs, tmp_path):
     )
     assert got == exp
     assert len(got) > 0  # the phrase actually matches the changed docs
+
+
+def test_phrase_with_fq_both_paths(spark, docs, ptables):
+    """fq must compose with phrase queries exactly as with OR/AND
+    (Solr: fq restricts results, stats untouched) — on BOTH the
+    broadcast-pushdown path and the forced semi-join path."""
+    from oni_indexer_spark.query.bm25 import searcher_for
+
+    lang = docs.select("lang").first()["lang"]
+    exp = _oracle_rows(bm25_phrase_topk_sql("hash join", k=10, fq_lang=lang))
+    assert exp, "fixture lang must match some docs"
+
+    s = searcher_for(ptables)
+    got = _rows(s.topk("hash join", k=10, mode="phrase", fq={"lang": lang}))
+    assert got == exp
+
+    # force the unselective path: filter can't ship, selection off,
+    # semi-join applies afterwards — same answer
+    s._fq_cache.clear()
+    old = s.fq_pushdown_max_docs
+    s.fq_pushdown_max_docs = 0
+    try:
+        got2 = _rows(s.topk("hash join", k=10, mode="phrase", fq={"lang": lang}))
+    finally:
+        s.fq_pushdown_max_docs = old
+        s._fq_cache.clear()
+    assert got2 == exp
+
+    # zero-match filter -> empty, not an error
+    assert _rows(s.topk("hash join", k=10, mode="phrase", fq={"lang": "zz_none"})) == []
+
+    # 1-term rewrite carries the fq
+    got1 = _rows(s.topk("merge", k=10, mode="phrase", fq={"lang": lang}))
+    exp1 = _oracle_rows(bm25_topk_sql("merge", k=10, fq_lang=lang))
+    assert [(g[0], g[1]) for g in got1] == [(e[0], e[1]) for e in exp1]
