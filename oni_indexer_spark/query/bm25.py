@@ -414,15 +414,43 @@ def _make_decode_phrase_group_arrow(
             slot_dl[slot] = dls  # same dl for every term of a doc
             # positions → their posting, term, slot
             tfs64 = tfs.astype(np.int64)
-            post_of_pos = np.repeat(np.arange(doc_ids.size, dtype=np.int64), tfs64)
             tid_of_post = np.repeat(tids, counts)
-            P = np.int64(int(pos_flat.max()) + m + 2) if pos_flat.size else np.int64(m + 2)
+            # doc-level presence intersection BEFORE position expansion:
+            # a phrase occurrence needs every distinct term present in
+            # the doc, so only slots hit by all dts.size tids can match.
+            # Counting term-presence per slot costs a few bincount-style
+            # passes over the POSTINGS (cheap); it shrinks the expensive
+            # position-key build + np.unique from Σ tf positions to just
+            # the intersected docs' positions — on hot multi-term
+            # phrases the intersection is a few % of the corpus.
+            dts = np.unique(np.array([t for t, _ in tid_offsets], dtype=np.int64))
+            if dts.size > 1:
+                pres = np.zeros(n_slots, dtype=np.int8)
+                hit = np.zeros(n_slots, dtype=bool)
+                for t in dts:
+                    hit[:] = False
+                    hit[slot[tid_of_post == t]] = True
+                    pres += hit
+                keep_post = pres[slot] == dts.size
+                if not keep_post.any():
+                    return None
+            else:
+                keep_post = None
+            post_of_pos = np.repeat(np.arange(doc_ids.size, dtype=np.int64), tfs64)
+            if keep_post is not None:
+                kp = keep_post[post_of_pos]
+                post_of_pos = post_of_pos[kp]
+                pos_use = pos_flat[kp]
+            else:
+                pos_use = pos_flat
+            tid_of_p = tid_of_post[post_of_pos]
+            P = np.int64(int(pos_use.max()) + m + 2) if pos_use.size else np.int64(m + 2)
             keys_parts = []
             for tid_j, j in tid_offsets:
-                pmask = tid_of_post[post_of_pos] == tid_j
-                adj = pos_flat[pmask] - j
+                pmask = tid_of_p == tid_j
+                adj = pos_use[pmask] - j
                 ok = adj >= 0  # a phrase can't start before the doc
-                keys_parts.append(slot[post_of_pos[pmask][ok]] * P + adj[ok])
+                keys_parts.append(slot[post_of_pos[pmask]][ok] * P + adj[ok])
             keys = np.concatenate(keys_parts) if keys_parts else np.empty(0, np.int64)
             if keys.size == 0:
                 return None
@@ -681,6 +709,11 @@ class Searcher:
     # semi-join applies the filter (the pre-r5 behavior)
     FQ_PUSHDOWN_MAX_DOCS = 2_000_000
 
+    # rarest-term block prefilter bound (AND/phrase queries): the
+    # broadcast block list has ≤ min_df entries, so the same 16 MB
+    # ceiling as fq pushdown applies
+    RARE_BLOCK_MAX_DF = 2_000_000
+
     def __init__(self, tables: IndexTables, prune_cost_threshold: int = 3_000_000):
         self.tables = tables
         self.prune_cost_threshold = prune_cost_threshold
@@ -793,6 +826,41 @@ class Searcher:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms if self._df_cache[t] > 0}
 
+    def _rare_block_prefilter(
+        self, p: DataFrame, dfs: dict[str, int], n_docs: int
+    ) -> DataFrame:
+        """Lossless block prefilter for conjunctive queries (AND mode,
+        phrases): blocks are global doc-ranges (block_id = doc_id //
+        block_size), so every term of a matching doc lands in the SAME
+        block — a block missing the rarest term cannot produce a match.
+        When the rarest term is selective, semi-join the pruned scan
+        against its block list (broadcast, ≤ min_df ids) BEFORE the
+        block_id shuffle, so hot-term blobs in rare-term-free blocks are
+        never shuffled or decoded. At north-star scale this turns a
+        rare∧hot conjunction from "decode the hot term's postings" into
+        "decode only the rare term's blocks".
+
+        Gated off when the rare term hits most blocks anyway (no blocks
+        to skip — the uniform-corpus / all-stop-words case) or when the
+        broadcast would exceed RARE_BLOCK_MAX_DF ids."""
+        from oni_indexer_spark.hashing import xxhash64_str
+
+        tables = self.tables
+        min_term = min(dfs, key=lambda t: dfs[t])
+        min_df = dfs[min_term]
+        n_blocks_est = max(1, n_docs // tables.cfg.block_size)
+        if len(dfs) < 2 or min_df >= n_blocks_est // 2 or min_df > self.RARE_BLOCK_MAX_DF:
+            return p
+        rare_blocks = (
+            tables.postings.where(
+                F.col("bucket").isin(_buckets_for(tables, [min_term]))
+                & (F.col("tid") == xxhash64_str(min_term))
+            )
+            .select("block_id")
+            .distinct()
+        )
+        return p.join(F.broadcast(rare_blocks), "block_id", "left_semi")
+
     def topk(
         self,
         query: str,
@@ -834,6 +902,8 @@ class Searcher:
             F.col("bucket").isin(buckets) & F.col("tid").isin(list(idf))
         )
         est = sum(dfs.values())
+        if mode == "and":
+            p = self._rare_block_prefilter(p, dfs, n_docs)
         if prune == "auto":
             prune = est > self.prune_cost_threshold
         allowed_bc = None
@@ -864,11 +934,14 @@ class Searcher:
         tf is the exact phrase occurrence count and whose idf weight is
         ``Σ_j idf(term_j)`` over the query positions (duplicate terms
         contribute once per position). Physical plan = the multi-term
-        block-aligned shape: bucket/tid-pruned scan → ONE repartition of
-        compressed blobs by block_id → numpy decode + position
+        block-aligned shape: bucket/tid-pruned scan → rarest-term block
+        prefilter (lossless semi-join, _rare_block_prefilter) → ONE
+        repartition of compressed blobs by block_id → numpy decode →
+        doc-level term-presence intersection → position-key
         intersection + per-batch candidate top-k → TakeOrdered. No
-        block-max pruning (the OR bound is valid but pass-1 would need
-        phrase scoring of candidate blocks to set τ — future work).
+        block-max τ pruning (the OR bound is valid but pass-1 would
+        need phrase scoring of candidate blocks to set τ — the two
+        intersections capture most of that win without the extra job).
 
         ``fq`` composes exactly as in the OR/AND path (Solr: fq
         restricts results, stats untouched): selective filters ship as
@@ -913,6 +986,7 @@ class Searcher:
         p = tables.postings.where(
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
         )
+        p = self._rare_block_prefilter(p, dfs, n_docs)
         spark = p.sparkSession
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         co = (

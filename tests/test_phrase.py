@@ -174,3 +174,48 @@ def test_phrase_with_fq_both_paths(spark, docs, ptables):
     got1 = _rows(s.topk("merge", k=10, mode="phrase", fq={"lang": lang}))
     exp1 = _oracle_rows(bm25_topk_sql("merge", k=10, fq_lang=lang))
     assert [(g[0], g[1]) for g in got1] == [(e[0], e[1]) for e in exp1]
+
+
+def test_rare_term_block_prefilter_phrase(spark, docs):
+    """The rarest-term block prefilter (lossless conjunctive pruning):
+    with a selective term in the phrase, only blocks containing that
+    term survive the scan — and the answer is still oracle-exact.
+    block_size=8 makes the 500-doc corpus span ~62 blocks so the gate
+    (min_df < n_blocks/2) actually opens for df('dup')≈25."""
+    from oni_indexer_spark.query.bm25 import searcher_for
+
+    cfg = IndexConfig(block_size=8, n_buckets=8, positions=True)
+    t = build_index(docs, cfg)
+    s = searcher_for(t)
+
+    # the gate must be open for this corpus/config
+    dfs = s.term_dfs(["window", "dup"])
+    n_docs, _ = s.stats()
+    assert dfs["dup"] < max(1, n_docs // cfg.block_size) // 2
+
+    # the prefilter really prunes: hot-term blocks without 'dup' drop
+    p_all = t.postings.where(F.col("tid").isNotNull())
+    import oni_indexer_spark.query.bm25 as B
+
+    pre = s._rare_block_prefilter(p_all, dfs, n_docs)
+    blocks_all = p_all.select("block_id").distinct().count()
+    blocks_kept = pre.select("block_id").distinct().count()
+    assert blocks_kept < blocks_all
+
+    # correctness: 'window window dup' appears in the corpus, so the
+    # bigram 'window dup' has real matches through the prefiltered plan
+    exp = _oracle_rows(bm25_phrase_topk_sql("window dup", k=10))
+    got = _rows(topk(t, "window dup", k=10, mode="phrase"))
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_rare_term_block_prefilter_and_mode(spark, docs):
+    """Same lossless prefilter on AND-mode queries (a conjunction can
+    only match inside blocks holding every term)."""
+    cfg = IndexConfig(block_size=8, n_buckets=8)
+    t = build_index(docs, cfg)
+    exp = _oracle_rows(bm25_topk_sql("dup scan", k=10, mode="and"))
+    got = _rows(topk(t, "dup scan", k=10, mode="and"))
+    assert got == exp
+    assert len(got) > 0
