@@ -126,6 +126,37 @@ def _q_bm25(
     return run
 
 
+def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-wildcard query ``s*`` (Lucene PrefixQuery, top-terms
+    scoring rewrite) — dictionary expansion against dfreq (6 terms in
+    this corpus) + BM25 OR over the expansion."""
+    from oni_indexer_spark.query import prefix_topk
+
+    return _rounded(prefix_topk(_index(spark, sf_dir), "s", k=10))
+
+
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query ``scann~1`` (Lucene FuzzyQuery, the typo-tolerance
+    case): the query term is NOT in the corpus; classic-Levenshtein
+    expansion reaches ``scan`` (ed 1), idf weighted by
+    ``1 − ed/min(|t|,|q|)``."""
+    from oni_indexer_spark.query import fuzzy_topk
+
+    return _rounded(fuzzy_topk(_index(spark, sf_dir), "scann", k=10))
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr-style highlighting: top-k + analyzed-token snippet around
+    the first query term (hl over main_search)."""
+    from oni_indexer_spark.query import snippet_topk
+
+    t = _index(spark, sf_dir)
+    out = snippet_topk(t, _docs(spark, sf_dir), "hash join", k=10, window=5)
+    return out.select(
+        "rank", "doc_id", F.round("score", 6).alias("score"), "snippet"
+    )
+
+
 def _q_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _index(spark, sf_dir)
     return (
@@ -832,11 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         # NEW r5: transitive closure of the LSH pairs (large-star/small-star)
         "dedup_cluster_cc": _q_dedup_cluster,
-        "sim_ann_lsh": _q_ann_lsh,
         "sim_ann_indexed": _q_ann_indexed,
         # NEW r5: IVF coarse-quantizer ANN (data-adaptive Voronoi cells)
         "sim_ann_ivf": _q_ann_ivf,
-        "sim_cosine_pairs": _q_cosine_pairs,
         "multimodal_features": _q_multimodal,
         "bm25_hot_single": _q_bm25("the", k=10),
         "bm25_and": _q_bm25("hash join", k=10, mode="and"),
@@ -853,6 +882,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quoted-phrase query over a v5 positional index (Lucene
         # PhraseQuery semantics; positions intersection in the worker)
         "bm25_phrase": _q_bm25("hash join", k=10, mode="phrase", positions=True),
+        # NEW r5 (late): the remaining Solr/Lucene query surface —
+        # trailing-wildcard (PrefixQuery), fuzzy (FuzzyQuery,
+        # Levenshtein-weighted OR), negated + range filter queries, and
+        # highlighting (snippets). Window slots from sim_ann_lsh,
+        # sim_cosine_pairs, etl_resolve_via, etl_ingest_items,
+        # etl_resolve_json_facet (each green r3 AND r4, siblings remain
+        # in-window).
+        "bm25_prefix": _q_prefix,
+        "bm25_fuzzy": _q_fuzzy,
+        "bm25_fq_not": _q_bm25("hash", k=10, fq={"lang": ("neq", "en")}),
+        "bm25_fq_range": _q_bm25("hash", k=10, fq={"dl": ("range", 40, 120)}),
+        "bm25_snippets": _q_snippets,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -874,15 +915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_jaccard,
         "etl_filter_type_regex": _q_etl_filter,
-        "etl_resolve_via": _q_etl_resolve_via,
         "etl_via_includes": _q_etl_via_includes,
         "etl_map_all": _q_etl_map_all,
         "etl_type_dispatch": _q_etl_type_dispatch,
         "etl_match_multi": _q_etl_match_multi,
-        "etl_ingest_items": _q_etl_ingest_items,
         "etl_config_pipeline": _q_etl_config_pipeline,
         "etl_resolve_fixpoint": _q_etl_fixpoint,
-        "etl_resolve_json_facet": _q_etl_resolve_json,
         "dedup_minhash_sig": _q_minhash,
         "etl_validate_date": _q_etl_validate_date,
         "dedup_exact": _q_dedup_exact,
@@ -904,6 +942,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to tail to make window room for the six NEW r5 ops:
         # dedup_cluster_cc, sim_ann_ivf, text_contamination,
         # sample_split, sample_mixture, pack_sequences
+        # r5-late rotation: these five (green r3 AND r4) gave their
+        # window slots to the new query-surface rows (prefix / fuzzy /
+        # fq_not / fq_range / snippets)
+        "sim_ann_lsh": _q_ann_lsh,
+        "sim_cosine_pairs": _q_cosine_pairs,
+        "etl_resolve_via": _q_etl_resolve_via,
+        "etl_ingest_items": _q_etl_ingest_items,
+        "etl_resolve_json_facet": _q_etl_resolve_json,
         "sim_cosine_topk": _q_cosine_topk,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -936,6 +982,17 @@ def oracle_sql() -> dict[str, str]:
         "bm25_zero_result": oracle.bm25_topk_sql("zzz_not_in_corpus", k=10),
         "bm25_k100": oracle.bm25_topk_sql("the scan", k=100),
         "bm25_phrase": oracle.bm25_phrase_topk_sql("hash join", k=10),
+        "bm25_prefix": oracle.bm25_prefix_topk_sql("s", k=10),
+        "bm25_fuzzy": oracle.bm25_fuzzy_topk_sql("scann", k=10),
+        "bm25_fq_not": oracle.bm25_topk_sql(
+            "hash", k=10, fq_sub="SELECT doc_id FROM documents WHERE lang <> 'en'"
+        ),
+        # dl is the analyzed token count — the oracle derives it in its
+        # own dl CTE, same normalization as the index's doclen table
+        "bm25_fq_range": oracle.bm25_topk_sql(
+            "hash", k=10, fq_sub="SELECT doc_id FROM dl WHERE dl BETWEEN 40 AND 120"
+        ),
+        "bm25_snippets": oracle.snippet_topk_sql("hash join", k=10, window=5),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
             "hash join", k=10, fq_lang="en"
         ),

@@ -617,7 +617,18 @@ def build_to_path(
             .parquet(f"{path}/postings")
         )
         (
-            _dfreq_table(tf_g).write.mode("overwrite")
+            # sortWithinPartitions("term"): dfreq files carry tight
+            # parquet min/max term stats, so prefix/fuzzy dictionary
+            # expansion (Searcher.expand_prefix / expand_fuzzy) prunes
+            # rowgroups via the pushed-down StartsWith instead of
+            # scanning the whole vocabulary. Local sort of vocab-sized
+            # rows — measured noise on the build (dfreq is the smallest
+            # stage).
+            # ("bucket", "term"): leading with the write's partition
+            # column satisfies FileFormatWriter's required ordering, so
+            # no second (term-order-destroying) sort is inserted.
+            _dfreq_table(tf_g).sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(f"{path}/dfreq")

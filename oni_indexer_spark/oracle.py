@@ -31,17 +31,22 @@ def bm25_topk_sql(
     table: str = "documents",
     text_col: str = "text",
     analyzer: str = "code",
+    fq_sub: str | None = None,
 ) -> str:
-    """Full BM25 top-k over the driver's ``documents`` view."""
+    """Full BM25 top-k over the driver's ``documents`` view. ``fq_sub``
+    is a raw DuckDB subquery returning the allowed ``doc_id`` set (the
+    generalized filter-query forms — negation, ranges; it may reference
+    the ``dl`` CTE for doc-length filters)."""
     terms = query_terms(query, analyzer)
     toks = analyzer_tokens_sql(text_col, analyzer)
     # Solr fq semantics: the filter restricts the RESULT set only; idf /
     # avgdl / N stay corpus-global (SURVEY.md §2.C9).
-    fq_pred = (
-        f"AND doc_id IN (SELECT doc_id FROM {table} WHERE lang = '{fq_lang}')"
-        if fq_lang
-        else ""
-    )
+    if fq_sub:
+        fq_pred = f"AND doc_id IN ({fq_sub})"
+    elif fq_lang:
+        fq_pred = f"AND doc_id IN (SELECT doc_id FROM {table} WHERE lang = '{fq_lang}')"
+    else:
+        fq_pred = ""
     having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
     return f"""
 WITH base AS (
@@ -146,6 +151,170 @@ ranked AS (
 )
 SELECT rank::int AS rank, doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def _expanded_topk_sql(
+    q_cte: str,
+    k: int,
+    k1: float,
+    b: float,
+    table: str,
+    text_col: str,
+    analyzer: str,
+    fq_sub: str | None = None,
+) -> str:
+    """Shared scaffold for term-dictionary-expanded queries (prefix /
+    fuzzy — Searcher._topk_from_dfs's oracle twin). ``q_cte`` must
+    select ``(term, w)`` and may reference ``df_all`` (the corpus term
+    dictionary with df) — mirroring the engine, which expands against
+    the index's dfreq table. ``w`` multiplies the term's idf."""
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    fq_pred = f"AND doc_id IN ({fq_sub})" if fq_sub else ""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT b.doc_id, t.term, count(*) AS tf
+  FROM base b, unnest(b.toks) AS t(term)
+  GROUP BY b.doc_id, t.term
+),
+df_all AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS ({q_cte}),
+qtf AS (SELECT tf.doc_id, tf.term, tf.tf, q.w FROM tf JOIN q USING (term)),
+dfreq AS (SELECT d.term, d.df FROM df_all d JOIN q USING (term)),
+scored AS (
+  SELECT qtf.doc_id,
+         sum( qtf.w * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * qtf.tf * ({k1} + 1.0)
+              / (qtf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM qtf
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qtf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+  WHERE TRUE {fq_pred}
+)
+SELECT rank::int AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def bm25_prefix_topk_sql(
+    prefix: str,
+    k: int = 10,
+    max_terms: int = 128,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+    fq_sub: str | None = None,
+) -> str:
+    """Trailing-wildcard oracle (Searcher.prefix_topk): expand the term
+    dictionary by prefix, keep the top ``max_terms`` by (df desc, term
+    asc) — Lucene's top-terms scoring rewrite — and score a plain BM25
+    OR (w = 1) over the expansion. ``substr`` (not LIKE) so ``_`` in
+    code tokens is literal."""
+    toks = analyzer_tokenize_py(prefix, analyzer)
+    pre = _sq(toks[0]) if toks else ""
+    q_cte = (
+        f"SELECT term, 1.0 AS w FROM df_all "
+        f"WHERE substr(term, 1, {len(pre)}) = '{pre}' "
+        f"ORDER BY df DESC, term ASC LIMIT {max_terms}"
+    )
+    return _expanded_topk_sql(q_cte, k, k1, b, table, text_col, analyzer, fq_sub)
+
+
+def bm25_fuzzy_topk_sql(
+    term: str,
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_len: int = 1,
+    max_terms: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Fuzzy-query oracle (Searcher.fuzzy_topk): classic-Levenshtein
+    expansion (DuckDB ``levenshtein`` == Spark ``levenshtein``) within
+    ``max_edits``, sharing a ``prefix_len`` prefix, top ``max_terms`` by
+    (df desc, term asc); each term weighted by Lucene's fuzzy boost
+    ``1 − ed / min(|term|, |query|)``."""
+    toks = analyzer_tokenize_py(term, analyzer)
+    t = _sq(toks[0]) if toks else ""
+    n = len(t)
+    pre = _sq(toks[0][:prefix_len]) if toks else ""
+    q_cte = (
+        f"SELECT term, 1.0 - levenshtein(term, '{t}')::DOUBLE "
+        f"/ least(length(term), {n}) AS w "
+        f"FROM df_all "
+        f"WHERE substr(term, 1, {len(pre)}) = '{pre}' "
+        f"AND length(term) BETWEEN {n - max_edits} AND {n + max_edits} "
+        f"AND levenshtein(term, '{t}') <= {max_edits} "
+        f"ORDER BY df DESC, term ASC LIMIT {max_terms}"
+    )
+    return _expanded_topk_sql(q_cte, k, k1, b, table, text_col, analyzer)
+
+
+def snippet_topk_sql(
+    query: str,
+    k: int = 10,
+    window: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Highlighting oracle (query.bm25.snippet_topk): BM25 OR top-k,
+    each row joined back to its analyzed token stream and sliced to the
+    (2·window+1)-token neighbourhood of the first occurrence of the
+    query's FIRST term (leading tokens when absent). ``list_slice`` is
+    1-based inclusive-end, matching Spark ``slice(start, 2w+1)``; both
+    clamp at the document boundaries."""
+    terms = query_terms(query, analyzer)
+    anchor = _sq(terms[0]) if terms else ""
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    w = window
+    base_topk = bm25_topk_sql(
+        query, k=k, k1=k1, b=b, table=table, text_col=text_col, analyzer=analyzer
+    )
+    # strip the trailing SELECT of the scaffold and re-emit it as a CTE
+    body = base_topk[: base_topk.rindex("SELECT rank::int")].rstrip()
+    return f"""{body},
+final AS (
+  SELECT rank::int AS rank, doc_id, round(score, 6) AS score
+  FROM ranked WHERE rank <= {k}
+),
+snip AS (
+  SELECT f.rank, f.doc_id, f.score,
+         CASE WHEN p IS NOT NULL THEN greatest(1, p - {w}) ELSE 1 END AS s,
+         b.toks
+  FROM final f
+  JOIN (
+    SELECT doc_id, toks,
+           nullif(coalesce(list_position(toks, '{anchor}'), 0), 0) AS p
+    FROM base
+  ) b USING (doc_id)
+)
+SELECT rank, doc_id, score,
+       array_to_string(list_slice(toks, s, s + {2 * w}), ' ') AS snippet
+FROM snip
 """.strip()
 
 

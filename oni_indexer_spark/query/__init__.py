@@ -1,2 +1,8 @@
-from oni_indexer_spark.query.bm25 import topk, topk_direct  # noqa: F401
+from oni_indexer_spark.query.bm25 import (  # noqa: F401
+    fuzzy_topk,
+    prefix_topk,
+    snippet_topk,
+    topk,
+    topk_direct,
+)
 from oni_indexer_spark.query.facets import facet_counts  # noqa: F401

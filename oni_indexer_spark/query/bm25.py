@@ -127,6 +127,31 @@ def _make_decode_map_pos_arrow(block_size: int):
     return _decode
 
 
+def _fq_condition(col: str, v) -> Column:
+    """One fq clause → a Column predicate. Solr filter-query forms
+    (SURVEY.md §2.C9): a plain value is exact-match (``lang:en``); a
+    ``("neq", v)`` tuple is exclusion (``-lang:en`` — NULLs excluded,
+    matching SQL ``<>`` so the DuckDB oracle twin is exact); a
+    ``("range", lo, hi)`` tuple is an inclusive range
+    (``dl:[lo TO hi]``). All three are plain comparisons on the doclen
+    metadata — they push down to the parquet scan as
+    EqualTo / Not(EqualTo) / GreaterThanOrEqual+LessThanOrEqual."""
+    if isinstance(v, tuple):
+        if v[0] == "neq":
+            return F.col(col) != F.lit(v[1])
+        if v[0] == "range":
+            return F.col(col).between(F.lit(v[1]), F.lit(v[2]))
+        raise ValueError(f"unknown fq op: {v[0]!r} (want 'neq' or 'range')")
+    return F.col(col) == F.lit(v)
+
+
+def _fq_keep(doclen: DataFrame, fq: dict) -> DataFrame:
+    keep = doclen
+    for c, v in fq.items():
+        keep = keep.where(_fq_condition(c, v))
+    return keep
+
+
 def _membership_filter(allowed, doc_ids, *arrs):
     """Keep only rows whose doc_id is in the SORTED ``allowed`` array
     (binary-search membership — the worker-side form of an fq filter)."""
@@ -639,9 +664,7 @@ def _scores(
             "doc_id long, score double",
         )
         if fq and allowed_bc is None:
-            keep = tables.doclen
-            for c, v in fq.items():
-                keep = keep.where(F.col(c) == v)
+            keep = _fq_keep(tables.doclen, fq)
             scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
         return scored
     rows = _decoded(postings_subset, cfg)
@@ -656,9 +679,7 @@ def _scores(
         agg = agg.where(F.col("n_terms_hit") == len(idf))
     scored = agg.select("doc_id", "score")
     if fq:
-        keep = tables.doclen
-        for c, v in fq.items():
-            keep = keep.where(F.col(c) == v)
+        keep = _fq_keep(tables.doclen, fq)
         scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
     return scored
 
@@ -732,9 +753,7 @@ class Searcher:
         key = tuple(sorted(fq.items()))
         hit = self._fq_cache.get(key)
         if hit is None:
-            keep = self.tables.doclen
-            for c, v in fq.items():
-                keep = keep.where(F.col(c) == v)
+            keep = _fq_keep(self.tables.doclen, fq)
             cnt = keep.count()
             bc = None
             if 0 < cnt <= self.fq_pushdown_max_docs:
@@ -875,8 +894,6 @@ class Searcher:
         sequence (quoted-phrase queries — needs a positional index);
         ``fq`` is exact-match metadata drill-down (C9). ``prune``:
         True / False / 'auto' (cost-based)."""
-        import math
-
         self._check_external_staleness()
         if mode == "phrase":
             return self._phrase_topk(query, k, fq=fq)
@@ -884,17 +901,37 @@ class Searcher:
         terms = query_terms(query, tables.cfg.analyzer)
         if not terms:
             return _empty_result(tables)
-        n_docs, avgdl = self.stats()
         dfs = self.term_dfs(terms)
         if not dfs or (mode == "and" and len(dfs) < len(terms)):
             return _empty_result(tables)
+        return self._topk_from_dfs(dfs, k=k, mode=mode, fq=fq, prune=prune)
+
+    def _topk_from_dfs(
+        self,
+        dfs: dict[str, int],
+        k: int,
+        mode: str = "or",
+        fq: dict | None = None,
+        prune: bool | str = "auto",
+        weights: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Shared scoring tail for every term-set query (free-text OR/AND,
+        prefix- and fuzzy-expanded). ``dfs`` maps present terms to their
+        document frequency; ``weights`` (expansion boosts, e.g. fuzzy
+        similarity) multiply each term's idf — the scorers are untouched,
+        a weighted query is just a different idf dict."""
+        import math
+
+        tables = self.tables
+        n_docs, avgdl = self.stats()
         from oni_indexer_spark.hashing import xxhash64_str
 
         present = list(dfs)
         # postings are tid-keyed; term → tid driver-side (exact xxhash64
         # twin, tests/test_hashing.py), no Spark job
         idf = {
-            xxhash64_str(t): math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+            xxhash64_str(t): (weights[t] if weights else 1.0)
+            * math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
             for t, d in dfs.items()
         }
         buckets = _buckets_for(tables, present)
@@ -920,6 +957,140 @@ class Searcher:
                 est_postings=est, allowed_bc=allowed_bc,
             ),
             k,
+        )
+
+    def expand_prefix(
+        self, prefix: str, max_terms: int = 128
+    ) -> list[tuple[str, int]]:
+        """Term-dictionary expansion for a trailing-wildcard query
+        (Solr/Lucene ``PrefixQuery``, e.g. ``ha*``). Returns up to
+        ``max_terms`` ``(term, df)`` pairs ordered by (df desc, term
+        asc) — Lucene's ``TopTermsScoringBooleanQueryRewrite`` keeps the
+        highest-df expansions under ``maxClauseCount``; the (df, term)
+        order makes the cut deterministic on ties.
+
+        Scale shape: this is a scan of the dfreq table (the term
+        dictionary — vocabulary-sized, orders of magnitude smaller than
+        postings) with a ``StartsWith`` filter that pushes down to the
+        parquet reader; dfreq files are written sorted by term within
+        each bucket (index/build.py) so rowgroup min/max stats prune
+        non-matching rowgroups. Output is TakeOrdered-bounded at
+        ``max_terms`` rows — nothing unbounded reaches the driver."""
+        rows = (
+            self.tables.dfreq.where(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))  # sum over appended segments
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_terms)
+            .collect()
+        )
+        out = [(r["term"], int(r["df"])) for r in rows]
+        for t, d in out:  # warm the df memo for any follow-up query
+            self._df_cache.setdefault(t, d)
+        return out
+
+    def prefix_topk(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_terms: int = 128,
+        fq: dict | None = None,
+        prune: bool | str = "auto",
+    ) -> DataFrame:
+        """Top-k for a trailing-wildcard query ``prefix*``: expand
+        against the term dictionary, then score as a BM25 OR over the
+        expanded set (Lucene's scoring boolean rewrite — each matched
+        term keeps its own idf). The reference's Solr portal serves
+        wildcard queries over ``main_search``; this is that surface on
+        the native index."""
+        self._check_external_staleness()
+        from oni_indexer_spark.analyzer import analyzer_tokenize_py
+
+        toks = analyzer_tokenize_py(prefix, self.tables.cfg.analyzer)
+        if not toks:
+            return _empty_result(self.tables)
+        expansion = self.expand_prefix(toks[0], max_terms=max_terms)
+        if not expansion:
+            return _empty_result(self.tables)
+        return self._topk_from_dfs(dict(expansion), k=k, fq=fq, prune=prune)
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_len: int = 1,
+        max_terms: int = 64,
+    ) -> list[tuple[str, int, int]]:
+        """Levenshtein expansion (Lucene ``FuzzyQuery`` shape): dictionary
+        terms within ``max_edits`` classic Levenshtein edits of ``term``
+        (no transpositions — deliberately the classic metric so Spark's
+        ``levenshtein`` and DuckDB's ``levenshtein`` are exact twins;
+        Lucene itself uses Damerau-Levenshtein), sharing a
+        ``prefix_len``-char prefix (Lucene's prefixLength). Returns up
+        to ``max_terms`` ``(term, df, edit_distance)`` by (df desc, term
+        asc).
+
+        Scale shape: the dictionary scan is bounded by two pushed-down
+        predicates before the levenshtein evaluation ever runs — the
+        shared prefix (StartsWith → sorted-rowgroup pruning) and the
+        ±max_edits length band; levenshtein itself is a JVM builtin
+        inside whole-stage codegen, evaluated only on the surviving
+        sliver of the vocabulary."""
+        pre = term[:prefix_len]
+        n = len(term)
+        cand = self.tables.dfreq.where(
+            F.col("term").startswith(pre)
+            & F.length("term").between(n - max_edits, n + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        )
+        rows = (
+            cand.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_terms)
+            .collect()
+        )
+        out = [
+            (r["term"], int(r["df"]), _levenshtein_py(r["term"], term)) for r in rows
+        ]
+        for t, d, _ in out:
+            self._df_cache.setdefault(t, d)
+        return out
+
+    def fuzzy_topk(
+        self,
+        term: str,
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_len: int = 1,
+        max_terms: int = 64,
+        fq: dict | None = None,
+        prune: bool | str = "auto",
+    ) -> DataFrame:
+        """Top-k for a fuzzy query ``term~``: expand within ``max_edits``
+        and score as a WEIGHTED BM25 OR — each expanded term's idf is
+        scaled by Lucene's fuzzy boost ``1 − ed / min(|term|, |query|)``
+        (exact match keeps weight 1). The weight folds into the idf dict
+        driver-side; the distributed scorers are byte-identical to the
+        plain OR path."""
+        self._check_external_staleness()
+        from oni_indexer_spark.analyzer import analyzer_tokenize_py
+
+        toks = analyzer_tokenize_py(term, self.tables.cfg.analyzer)
+        if not toks:
+            return _empty_result(self.tables)
+        q = toks[0]
+        expansion = self.expand_fuzzy(
+            q, max_edits=max_edits, prefix_len=prefix_len, max_terms=max_terms
+        )
+        if not expansion:
+            return _empty_result(self.tables)
+        dfs = {t: d for t, d, _ in expansion}
+        weights = {
+            t: 1.0 - ed / min(len(t), len(q)) for t, _, ed in expansion
+        }
+        return self._topk_from_dfs(
+            dfs, k=k, fq=fq, prune=prune, weights=weights
         )
 
     def _phrase_topk(
@@ -1005,9 +1176,7 @@ class Searcher:
             "doc_id long, score double",
         )
         if fq and allowed_bc is None:
-            keep = tables.doclen
-            for c, v in fq.items():
-                keep = keep.where(F.col(c) == v)
+            keep = _fq_keep(tables.doclen, fq)
             scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
         return _ranked(scored, k)
 
@@ -1057,6 +1226,75 @@ def topk(
 ) -> DataFrame:
     """Functional façade over :class:`Searcher` (stats/df cached)."""
     return searcher_for(tables).topk(query, k=k, mode=mode, fq=fq, prune=prune)
+
+
+def prefix_topk(tables: IndexTables, prefix: str, k: int = 10, **kw) -> DataFrame:
+    """Functional façade over :meth:`Searcher.prefix_topk`."""
+    return searcher_for(tables).prefix_topk(prefix, k=k, **kw)
+
+
+def fuzzy_topk(tables: IndexTables, term: str, k: int = 10, **kw) -> DataFrame:
+    """Functional façade over :meth:`Searcher.fuzzy_topk`."""
+    return searcher_for(tables).fuzzy_topk(term, k=k, **kw)
+
+
+def _levenshtein_py(a: str, b: str) -> int:
+    """Classic Levenshtein DP — the exact metric Spark's ``levenshtein``
+    and DuckDB's ``levenshtein`` implement (insert/delete/substitute,
+    no transpositions). Driver-side twin used only to weight the ≤
+    ``max_terms`` expanded terms of a fuzzy query."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def snippet_topk(
+    tables: IndexTables,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    window: int = 5,
+) -> DataFrame:
+    """Solr-style highlighting: top-k BM25 docs with a snippet — the
+    (2·window+1)-token slice of the ANALYZED token stream centred on the
+    first occurrence of the query's first term (Solr ``hl=true`` over
+    ``main_search``; Lucene's highlighter likewise re-analyzes the stored
+    field). Anchoring on the first term and falling back to the leading
+    tokens when it is absent (an OR-mode doc matched on other terms)
+    makes the snippet a deterministic function of (content, query) that
+    the DuckDB oracle reproduces exactly (oracle.snippet_topk_sql).
+
+    Scale shape: ranking reuses the full index path; the snippet pass
+    joins the k-row result (broadcast) against the document store and
+    computes the slice with JVM builtins (array_position / slice) inside
+    whole-stage codegen — one corpus scan, no Python, output bounded at
+    k rows. ``docs`` is the corpus DataFrame (the index stores no
+    content — same separation as Solr's stored fields)."""
+    from oni_indexer_spark.analyzer import analyzer_tokens
+
+    analyzer = tables.cfg.analyzer
+    terms = query_terms(query, analyzer)
+    top = topk(tables, query, k=k)
+    if not terms:
+        return top.withColumn("snippet", F.lit(None).cast("string"))
+    anchor = terms[0]
+    toks = analyzer_tokens("content", analyzer)
+    pos = F.array_position(toks, anchor)  # 1-based; 0 when absent
+    start = F.when(pos > 0, F.greatest(F.lit(1), pos - window)).otherwise(F.lit(1))
+    snip = F.concat_ws(" ", F.slice(toks, start, 2 * window + 1))
+    return (
+        docs.join(F.broadcast(top), "doc_id")
+        .select("rank", "doc_id", "score", snip.alias("snippet"))
+        .orderBy("rank")
+    )
 
 
 def _blockmax_prune(
@@ -1178,8 +1416,7 @@ def topk_direct(
     if mode == "and":
         scored = scored.where(F.col("n_terms_hit") == len(set(terms)))
     if fq:
-        keep = docs
-        for c, v in fq.items():
-            keep = keep.where(F.col(c) == v)
-        scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
+        scored = scored.join(
+            _fq_keep(docs, fq).select("doc_id"), "doc_id", "left_semi"
+        )
     return _ranked(scored.select("doc_id", "score"), k)
