@@ -157,6 +157,16 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr MoreLikeThis: docs similar to doc 42 via an OR query over
+    its top-5 tf·idf terms, source doc excluded."""
+    from oni_indexer_spark.query import more_like_this
+
+    return _rounded(
+        more_like_this(_index(spark, sf_dir), _docs(spark, sf_dir), 42, k=10)
+    )
+
+
 def _q_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _index(spark, sf_dir)
     return (
@@ -894,6 +904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fq_not": _q_bm25("hash", k=10, fq={"lang": ("neq", "en")}),
         "bm25_fq_range": _q_bm25("hash", k=10, fq={"dl": ("range", 40, 120)}),
         "bm25_snippets": _q_snippets,
+        # MoreLikeThis (slot from dedup_simhash — green r3+r4; four
+        # dedup siblings remain in-window)
+        "bm25_mlt": _q_mlt,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -912,7 +925,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": _q_sample_mixture,
         "pack_sequences": _q_pack_sequences,
         "text_subword_count": _q_subword,
-        "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_jaccard,
         "etl_filter_type_regex": _q_etl_filter,
         "etl_via_includes": _q_etl_via_includes,
@@ -947,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fq_not / fq_range / snippets)
         "sim_ann_lsh": _q_ann_lsh,
         "sim_cosine_pairs": _q_cosine_pairs,
+        "dedup_simhash": _q_simhash,
         "etl_resolve_via": _q_etl_resolve_via,
         "etl_ingest_items": _q_etl_ingest_items,
         "etl_resolve_json_facet": _q_etl_resolve_json,
@@ -993,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
             "hash", k=10, fq_sub="SELECT doc_id FROM dl WHERE dl BETWEEN 40 AND 120"
         ),
         "bm25_snippets": oracle.snippet_topk_sql("hash join", k=10, window=5),
+        "bm25_mlt": oracle.mlt_topk_sql(42, k=10),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
             "hash join", k=10, fq_lang="en"
         ),

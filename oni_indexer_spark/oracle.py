@@ -271,6 +271,33 @@ def bm25_fuzzy_topk_sql(
     return _expanded_topk_sql(q_cte, k, k1, b, table, text_col, analyzer)
 
 
+def mlt_topk_sql(
+    doc_id: int,
+    k: int = 10,
+    max_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """MoreLikeThis oracle (query.bm25.more_like_this): select the
+    target doc's top ``max_terms`` terms by tf·idf (ties by term asc),
+    score a BM25 OR over them, exclude the source doc. The q CTE
+    references the scaffold's ``tf``/``df_all``/``stats`` — the same
+    derivation the engine does driver-side from the target's tf vector
+    and the dfreq table."""
+    q_cte = (
+        f"SELECT t.term, 1.0 AS w FROM tf t "
+        f"JOIN df_all d USING (term) CROSS JOIN stats s "
+        f"WHERE t.doc_id = {doc_id} "
+        f"ORDER BY t.tf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) DESC, "
+        f"t.term ASC LIMIT {max_terms}"
+    )
+    fq_sub = f"SELECT doc_id FROM {table} WHERE doc_id <> {doc_id}"
+    return _expanded_topk_sql(q_cte, k, k1, b, table, text_col, analyzer, fq_sub)
+
+
 def snippet_topk_sql(
     query: str,
     k: int = 10,

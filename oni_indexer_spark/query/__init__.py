@@ -1,5 +1,6 @@
 from oni_indexer_spark.query.bm25 import (  # noqa: F401
     fuzzy_topk,
+    more_like_this,
     prefix_topk,
     snippet_topk,
     topk,

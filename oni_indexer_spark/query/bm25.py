@@ -914,12 +914,15 @@ class Searcher:
         fq: dict | None = None,
         prune: bool | str = "auto",
         weights: dict[str, float] | None = None,
+        exclude_doc_id: int | None = None,
     ) -> DataFrame:
         """Shared scoring tail for every term-set query (free-text OR/AND,
-        prefix- and fuzzy-expanded). ``dfs`` maps present terms to their
-        document frequency; ``weights`` (expansion boosts, e.g. fuzzy
-        similarity) multiply each term's idf — the scorers are untouched,
-        a weighted query is just a different idf dict."""
+        prefix- and fuzzy-expanded, more-like-this). ``dfs`` maps present
+        terms to their document frequency; ``weights`` (expansion boosts,
+        e.g. fuzzy similarity) multiply each term's idf — the scorers are
+        untouched, a weighted query is just a different idf dict.
+        ``exclude_doc_id`` drops one doc before ranking (MLT excludes its
+        source doc) — a plain filter, no join."""
         import math
 
         tables = self.tables
@@ -948,16 +951,20 @@ class Searcher:
             fq_count, allowed_bc = self._fq_allowed(fq)
             if fq_count == 0:
                 return _empty_result(tables)
+        # excluding a doc means the (k+1)-th candidate can rise into the
+        # top-k, so every k-bounded stage (pass-1 τ, per-batch candidate
+        # selection) must run at k+1 before the filter drops the doc
+        k_eff = k + 1 if exclude_doc_id is not None else k
         floor = None
         if prune and mode == "or" and fq is None:
-            p, floor = _blockmax_prune(p, tables, idf, avgdl, k)
-        return _ranked(
-            _scores(
-                p, tables, idf, avgdl, mode, fq, k=k, floor=floor,
-                est_postings=est, allowed_bc=allowed_bc,
-            ),
-            k,
+            p, floor = _blockmax_prune(p, tables, idf, avgdl, k_eff)
+        scored = _scores(
+            p, tables, idf, avgdl, mode, fq, k=k_eff, floor=floor,
+            est_postings=est, allowed_bc=allowed_bc,
         )
+        if exclude_doc_id is not None:
+            scored = scored.where(F.col("doc_id") != F.lit(exclude_doc_id))
+        return _ranked(scored, k)
 
     def expand_prefix(
         self, prefix: str, max_terms: int = 128
@@ -1294,6 +1301,55 @@ def snippet_topk(
         docs.join(F.broadcast(top), "doc_id")
         .select("rank", "doc_id", "score", snip.alias("snippet"))
         .orderBy("rank")
+    )
+
+
+def more_like_this(
+    tables: IndexTables,
+    docs: DataFrame,
+    doc_id: int,
+    k: int = 10,
+    max_terms: int = 5,
+) -> DataFrame:
+    """Solr ``MoreLikeThis``: rank documents similar to a target doc by
+    building an OR query from the target's ``max_terms`` most
+    interesting terms — ranked by tf·idf exactly as Solr's MLT handler
+    ranks "interesting terms" — excluding the source doc from the
+    result. Ties in the tf·idf interestingness score break by term asc
+    so the selected term set is deterministic (oracle:
+    oracle.mlt_topk_sql).
+
+    Scale shape: fetching the target is a single-row pushdown lookup on
+    the doc store (Solr's MLT handler likewise reads the source doc);
+    term ranking is driver-side arithmetic over that one doc's tf vector
+    plus one dfreq probe (term_dfs — bounded, memoized); scoring reuses
+    the block-aligned OR path at k+1 with a post-scoring ``doc_id !=``
+    filter (no join)."""
+    import math
+    from collections import Counter
+
+    from oni_indexer_spark.analyzer import analyzer_tokenize_py
+
+    s = searcher_for(tables)
+    s._check_external_staleness()
+    rows = docs.where(F.col("doc_id") == doc_id).select("content").collect()
+    if not rows:
+        return _empty_result(tables)
+    toks = analyzer_tokenize_py(rows[0]["content"], tables.cfg.analyzer)
+    if not toks:
+        return _empty_result(tables)
+    tf = Counter(toks)
+    dfs = s.term_dfs(sorted(tf))
+    if not dfs:
+        return _empty_result(tables)
+    n_docs, _ = s.stats()
+
+    def interest(t: str) -> float:
+        return tf[t] * math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+
+    sel = sorted(dfs, key=lambda t: (-interest(t), t))[:max_terms]
+    return s._topk_from_dfs(
+        {t: dfs[t] for t in sel}, k=k, exclude_doc_id=doc_id
     )
 
 

@@ -174,6 +174,40 @@ def test_fq_unknown_op_raises(tables):
         _rows(Searcher(tables).topk("hash", k=10, fq={"lang": ("like", "e%")}))
 
 
+# ------------------------------------------------------- more-like-this
+
+def test_mlt_matches_oracle(tables, docs):
+    from oni_indexer_spark.oracle import mlt_topk_sql
+    from oni_indexer_spark.query.bm25 import more_like_this
+
+    for did in (7, 42):
+        got = _rows(more_like_this(tables, docs, did, k=10))
+        exp = [
+            (r[0], r[1], round(r[2], 6)) for r in _duck(mlt_topk_sql(did, k=10))
+        ]
+        assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp]
+        for g, e in zip(got, exp):
+            assert abs(g[2] - e[2]) < 1e-6
+
+
+def test_mlt_excludes_source_and_keeps_rank_contiguity(tables, docs):
+    """The source doc would rank first (it contains all its own top
+    terms); exclusion must drop it while the doc at k+1 rises in — ranks
+    stay 1..k with no gap."""
+    from oni_indexer_spark.query.bm25 import more_like_this
+
+    got = _rows(more_like_this(tables, docs, 42, k=10))
+    assert 42 not in {d for _, d, _ in got}
+    assert [r for r, _, _ in got] == list(range(1, len(got) + 1))
+    assert len(got) == 10
+
+
+def test_mlt_missing_doc_is_empty(tables, docs):
+    from oni_indexer_spark.query.bm25 import more_like_this
+
+    assert _rows(more_like_this(tables, docs, 10**9, k=10)) == []
+
+
 # --------------------------------------------------------- highlighting
 
 def test_snippet_matches_oracle(tables, docs):
