@@ -114,12 +114,13 @@ def _q_bm25(
     prune: bool | str = "auto",
     analyzer: str = "code",
     positions: bool = False,
+    slop: int = 0,
 ):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _rounded(
             topk(
                 _index(spark, sf_dir, analyzer, positions=positions),
-                query, k=k, mode=mode, fq=fq, prune=prune,
+                query, k=k, mode=mode, fq=fq, prune=prune, slop=slop,
             )
         )
 
@@ -907,6 +908,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MoreLikeThis (slot from dedup_simhash — green r3+r4; four
         # dedup siblings remain in-window)
         "bm25_mlt": _q_mlt,
+        # sloppy phrase "hash join"~2 (ordered, total gap budget; slot
+        # from etl_filter_type_regex — green r3+r4, B3-B5 predicates
+        # stay covered by etl_type_dispatch + etl_config_pipeline)
+        "bm25_phrase_slop": _q_bm25(
+            "hash join", k=10, mode="phrase", positions=True, slop=2
+        ),
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -926,7 +933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "text_subword_count": _q_subword,
         "dedup_ngram_jaccard": _q_jaccard,
-        "etl_filter_type_regex": _q_etl_filter,
         "etl_via_includes": _q_etl_via_includes,
         "etl_map_all": _q_etl_map_all,
         "etl_type_dispatch": _q_etl_type_dispatch,
@@ -960,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": _q_ann_lsh,
         "sim_cosine_pairs": _q_cosine_pairs,
         "dedup_simhash": _q_simhash,
+        "etl_filter_type_regex": _q_etl_filter,
         "etl_resolve_via": _q_etl_resolve_via,
         "etl_ingest_items": _q_etl_ingest_items,
         "etl_resolve_json_facet": _q_etl_resolve_json,
@@ -1007,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_snippets": oracle.snippet_topk_sql("hash join", k=10, window=5),
         "bm25_mlt": oracle.mlt_topk_sql(42, k=10),
+        "bm25_phrase_slop": oracle.bm25_phrase_topk_sql("hash join", k=10, slop=2),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
             "hash join", k=10, fq_lang="en"
         ),

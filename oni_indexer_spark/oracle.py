@@ -94,18 +94,31 @@ def bm25_phrase_topk_sql(
     text_col: str = "text",
     analyzer: str = "code",
     fq_lang: str | None = None,
+    slop: int = 0,
 ) -> str:
     """Phrase-query oracle (Lucene ``PhraseQuery`` semantics, mirrored by
     ``Searcher._phrase_topk``): phrase frequency = count of start
     positions where the full token sequence matches; score =
     ``(Σ_j idf(term_j)) · tfn(phraseFreq, dl)`` with idf summed over all
-    query positions (duplicates counted per position)."""
+    query positions (duplicates counted per position). ``slop`` (m=2
+    only here; larger m is brute-force-oracled in tests/test_phrase.py)
+    counts anchors whose partner term appears in the next ``1+slop``
+    positions — the engine's ordered total-budget semantics."""
     qtoks = analyzer_tokenize_py(query, analyzer)
     m = len(qtoks)
     toks = analyzer_tokens_sql(text_col, analyzer)
+    if slop and m != 2:
+        raise ValueError("slop oracle SQL supports 2-term phrases only")
     cond = " AND ".join(
         f"toks[i+{j}] = '" + t.replace("'", "''") + "'" for j, t in enumerate(qtoks)
     )
+    if slop and m == 2:
+        t0 = qtoks[0].replace("'", "''")
+        t1 = qtoks[1].replace("'", "''")
+        cond = (
+            f"toks[i] = '{t0}' AND list_contains("
+            f"list_slice(toks, i + 1, least(len(toks), i + 1 + {slop})), '{t1}')"
+        )
     distinct = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(qtoks)))
     # Solr fq semantics: restrict results only; idf/avgdl stay corpus-wide
     fq_pred = (
@@ -222,12 +235,15 @@ def bm25_prefix_topk_sql(
     text_col: str = "text",
     analyzer: str = "code",
     fq_sub: str | None = None,
+    rewrite: str = "scoring",
 ) -> str:
     """Trailing-wildcard oracle (Searcher.prefix_topk): expand the term
     dictionary by prefix, keep the top ``max_terms`` by (df desc, term
     asc) — Lucene's top-terms scoring rewrite — and score a plain BM25
     OR (w = 1) over the expansion. ``substr`` (not LIKE) so ``_`` in
-    code tokens is literal."""
+    code tokens is literal. ``rewrite="constant"`` is the
+    large-expansion twin: constant score 1.0, top-k = k lowest matching
+    doc_ids (Searcher._constant_score_topk)."""
     toks = analyzer_tokenize_py(prefix, analyzer)
     pre = _sq(toks[0]) if toks else ""
     q_cte = (
@@ -235,6 +251,24 @@ def bm25_prefix_topk_sql(
         f"WHERE substr(term, 1, {len(pre)}) = '{pre}' "
         f"ORDER BY df DESC, term ASC LIMIT {max_terms}"
     )
+    if rewrite == "constant":
+        toks_expr = analyzer_tokens_sql(text_col, analyzer)
+        fq_pred = f"AND doc_id IN ({fq_sub})" if fq_sub else ""
+        return f"""
+WITH base AS (
+  SELECT doc_id, {toks_expr} AS toks FROM {table}
+),
+toksd AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base),
+df_all AS (SELECT term, count(*) AS df FROM toksd GROUP BY term),
+q AS ({q_cte}),
+matched AS (SELECT DISTINCT doc_id FROM toksd JOIN q USING (term)),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) AS rank
+  FROM matched WHERE TRUE {fq_pred}
+)
+SELECT rank::int AS rank, doc_id, 1.0::DOUBLE AS score
+FROM ranked WHERE rank <= {k}
+""".strip()
     return _expanded_topk_sql(q_cte, k, k1, b, table, text_col, analyzer, fq_sub)
 
 

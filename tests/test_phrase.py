@@ -70,6 +70,89 @@ def test_phrase_matches_oracle(ptables, query, k):
         assert abs(g[2] - e[2]) < 1e-6
 
 
+@pytest.mark.parametrize("query,slop", [
+    ("hash join", 1), ("hash join", 2), ("hash join", 5),
+    ("join hash", 2),          # ordered: reverse stays a different query
+    ("the the", 3),            # duplicate term with a gap budget
+])
+def test_sloppy_phrase_matches_oracle(ptables, query, slop):
+    """Sloppy 2-term phrases (Solr ``"a b"~N``, ordered total-budget
+    semantics) against the DuckDB windowed-containment oracle."""
+    got = _rows(topk(ptables, query, k=10, mode="phrase", slop=slop))
+    exp = _oracle_rows(bm25_phrase_topk_sql(query, k=10, slop=slop))
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp], "rank/doc"
+    for g, e in zip(got, exp):
+        assert abs(g[2] - e[2]) < 1e-6
+
+
+def test_sloppy_phrase_three_terms_brute_force(ptables, docs):
+    """m>2 sloppy (no SQL oracle): greedy-chain engine vs an exact
+    Python brute force over the collected corpus — the greedy minimal
+    chain is optimal for the span criterion, so both enumerate the same
+    anchors."""
+    import math
+
+    corpus = {
+        r["doc_id"]: r["content"] for r in docs.select("doc_id", "content").collect()
+    }
+    from oni_indexer_spark.analyzer import tokenize_py
+
+    toks = {d: tokenize_py(c) for d, c in corpus.items()}
+    qt, slop, k1, b = ["hash", "join", "the"], 3, 1.2, 0.75
+    n_docs = len(toks)
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in set(qt)}
+    idf_sum = sum(math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in qt)
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    exp = []
+    for did, ts in toks.items():
+        pf = 0
+        for i, tok in enumerate(ts):
+            if tok != qt[0]:
+                continue
+            prev, ok = i, True
+            for j, tj in enumerate(qt[1:], 1):
+                nxt = next(
+                    (p for p in range(prev + 1, min(len(ts), i + j + slop + 1))
+                     if ts[p] == tj),
+                    None,
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                prev = nxt
+            if ok:
+                pf += 1
+        if pf:
+            dl = len(ts)
+            s = idf_sum * (pf * (k1 + 1.0)) / (pf + k1 * (1 - b + b * dl / avgdl))
+            exp.append((did, round(s, 6)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    exp = [(r + 1, d, s) for r, (d, s) in enumerate(exp[:10])]
+    got = _rows(topk(ptables, "hash join the", k=10, mode="phrase", slop=slop))
+    assert got == exp
+
+
+def test_slop_zero_equals_exact_and_slop_widens(ptables):
+    """slop=0 through the API equals the exact matcher; growing slop
+    only ever grows the match set (monotone relaxation)."""
+    exact = _rows(topk(ptables, "hash join", k=1000, mode="phrase"))
+    s0 = _rows(topk(ptables, "hash join", k=1000, mode="phrase", slop=0))
+    assert exact == s0
+    prev_docs = {d for _, d, _ in exact}
+    for slop in (1, 2, 5):
+        # k=1000 > corpus size: no top-k truncation, so the FULL match
+        # sets must be monotone under the relaxation
+        cur = {d for _, d, _ in _rows(
+            topk(ptables, "hash join", k=1000, mode="phrase", slop=slop))}
+        assert prev_docs <= cur
+        prev_docs = cur
+
+
+def test_slop_outside_phrase_mode_raises(ptables):
+    with pytest.raises(ValueError, match="slop"):
+        topk(ptables, "hash join", k=10, mode="or", slop=2)
+
+
 def test_phrase_single_term_rewrites_to_term_query(ptables):
     got = _rows(topk(ptables, "merge", k=10, mode="phrase"))
     exp = _oracle_rows(bm25_topk_sql("merge", k=10))

@@ -80,6 +80,51 @@ def test_prefix_no_match_is_empty(tables):
     assert _rows(Searcher(tables).prefix_topk("zzqx", k=10)) == []
 
 
+def test_prefix_constant_score_rewrite_matches_oracle(tables):
+    """Lucene CONSTANT_SCORE rewrite for big expansions: score 1.0, k
+    lowest matching doc_ids. Forced here (the sf0.001 vocabulary never
+    crosses the 16-term auto threshold); at corpus scale (code
+    identifiers like snake_case_<n>) the auto threshold picks it — a
+    128-clause scored OR measured ~7x a plain multi-term query."""
+    got = _rows(Searcher(tables).prefix_topk("s", k=10, rewrite="constant"))
+    exp = [
+        (r[0], r[1], round(r[2], 6))
+        for r in _duck(bm25_prefix_topk_sql("s", k=10, rewrite="constant"))
+    ]
+    assert sorted(got) == sorted(exp)
+    assert all(sc == 1.0 for _, _, sc in got)
+
+
+def test_prefix_auto_threshold(tables):
+    """auto == scoring below the threshold; forcing constant gives a
+    different (doc_id-ordered) head — pinning that the mode dispatch
+    actually switches."""
+    s = Searcher(tables)
+    auto = _rows(s.prefix_topk("s", k=10))
+    scoring = _rows(s.prefix_topk("s", k=10, rewrite="scoring"))
+    assert auto == scoring  # 6-term expansion stays on the scoring path
+    const = _rows(s.prefix_topk("s", k=10, rewrite="constant"))
+    assert [d for _, d, _ in const] == sorted(d for _, d, _ in const)
+
+
+def test_prefix_constant_with_fq(tables):
+    got = _rows(
+        Searcher(tables).prefix_topk(
+            "s", k=10, rewrite="constant", fq={"lang": "en"}
+        )
+    )
+    exp = [
+        (r[0], r[1], round(r[2], 6))
+        for r in _duck(
+            bm25_prefix_topk_sql(
+                "s", k=10, rewrite="constant",
+                fq_sub="SELECT doc_id FROM documents WHERE lang = 'en'",
+            )
+        )
+    ]
+    assert sorted(got) == sorted(exp)
+
+
 # ------------------------------------------------------------- fuzzy
 
 def test_fuzzy_topk_matches_oracle(tables):
