@@ -168,6 +168,24 @@ def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The driver-checked boolean query string: MUST term + NOT term +
+#: SHOULD term + sloppy phrase clause + metadata filter, exercising the
+#: full clause compositor in one row (query/parser.py grammar).
+_BOOLEAN_Q = '+hash -scan merge "hash join"~2 lang:en'
+
+
+def _q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-lite boolean query string over the positional index —
+    Solr's lucene-parser surface (portal_base.json:18-23): MUST inner
+    join, SHOULD union-sum, MUST_NOT anti-join, fq filter, phrase
+    clause; score = Lucene BooleanQuery clause-score sum."""
+    from oni_indexer_spark.query import search
+
+    return _rounded(
+        search(_index(spark, sf_dir, positions=True), _BOOLEAN_Q, k=10)
+    )
+
+
 def _q_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _index(spark, sf_dir)
     return (
@@ -914,6 +932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": _q_bm25(
             "hash join", k=10, mode="phrase", positions=True, slop=2
         ),
+        # boolean query-string compositor (slot from dedup_ngram_jaccard
+        # — green r3+r4; MinHash-LSH + exact + simhash dedup siblings
+        # keep the dedup family driver-covered)
+        "bm25_boolean": _q_boolean,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -932,7 +954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": _q_sample_mixture,
         "pack_sequences": _q_pack_sequences,
         "text_subword_count": _q_subword,
-        "dedup_ngram_jaccard": _q_jaccard,
         "etl_via_includes": _q_etl_via_includes,
         "etl_map_all": _q_etl_map_all,
         "etl_type_dispatch": _q_etl_type_dispatch,
@@ -942,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _q_minhash,
         "etl_validate_date": _q_etl_validate_date,
         "dedup_exact": _q_dedup_exact,
+        # n-gram jaccard rotated to tail for bm25_boolean (green r3+r4)
+        "dedup_ngram_jaccard": _q_jaccard,
         # phrase x fq composition (r5 late fix: phrase mode previously
         # ignored fq; now composes like OR/AND — parameter variant,
         # pytest-oracled at the tail)
@@ -1015,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_snippets": oracle.snippet_topk_sql("hash join", k=10, window=5),
         "bm25_mlt": oracle.mlt_topk_sql(42, k=10),
         "bm25_phrase_slop": oracle.bm25_phrase_topk_sql("hash join", k=10, slop=2),
+        "bm25_boolean": oracle.boolean_query_sql(_BOOLEAN_Q, k=10),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
             "hash join", k=10, fq_lang="en"
         ),

@@ -412,3 +412,268 @@ def facet_sql(field: str, limit: int = 5, table: str = "documents") -> str:
         f"WHERE {field} IS NOT NULL GROUP BY {field} "
         f"ORDER BY count DESC, value ASC LIMIT {limit}"
     )
+
+
+# ----------------------------------------------------------- boolean
+
+
+def _sql_lit(v) -> str:
+    return str(v) if isinstance(v, (int, float)) else "'" + str(v).replace("'", "''") + "'"
+
+
+def _phrase_pf_cond(qtoks: list[str], slop: int) -> str:
+    """The list_filter lambda condition counting phrase starts at
+    position i (shared by the phrase and boolean oracles)."""
+    if slop:
+        if len(qtoks) != 2:
+            raise ValueError("slop oracle SQL supports 2-term phrases only")
+        t0, t1 = _sq(qtoks[0]), _sq(qtoks[1])
+        return (
+            f"toks[i] = '{t0}' AND list_contains("
+            f"list_slice(toks, i + 1, least(len(toks), i + 1 + {slop})), '{t1}')"
+        )
+    return " AND ".join(
+        f"toks[i+{j}] = '{_sq(t)}'" for j, t in enumerate(qtoks)
+    )
+
+
+def boolean_query_sql(
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+    max_prefix_terms: int = 128,
+    max_fuzzy_terms: int = 64,
+) -> str:
+    """Oracle twin of ``Searcher.search`` — the Lucene-lite boolean
+    query-string surface. Parses the SAME query string with the SAME
+    ``query/parser.parse_query`` + analyzer the engine uses, then emits
+    one DuckDB query implementing Lucene BooleanQuery scoring: per-doc
+    score = Σ of matching MUST and SHOULD clause scores, docs must match
+    every MUST clause and no MUST_NOT clause, metadata filters restrict
+    the result set only (idf/avgdl corpus-global). MUST terms fuse into
+    one all-required weighted pass, SHOULD terms + prefix/fuzzy
+    expansions into one weighted OR pass (weights summed per term),
+    each phrase scores as its own pseudo-term clause — mirroring the
+    engine's clause grouping exactly."""
+    from oni_indexer_spark.query.parser import parse_query
+
+    pq = parse_query(query)
+    toks_expr = analyzer_tokens_sql(text_col, analyzer)
+
+    terms: dict[str, list[str]] = {"must": [], "should": [], "not": []}
+    phrases: list[tuple[str, list[str], int]] = []
+    expansions: list[tuple[str, str, str, int]] = []
+    for c in pq.clauses:
+        toks = analyzer_tokenize_py(c.text, analyzer)
+        if not toks:
+            continue
+        if c.kind == "phrase" and len(toks) >= 2:
+            phrases.append((c.occur, toks, c.slop))
+        elif c.kind in ("prefix", "fuzzy"):
+            expansions.append((c.occur, c.kind, toks[0], c.slop))
+        else:
+            terms[c.occur].extend(toks)
+
+    def weights_values(ts: list[str]) -> str:
+        w: dict[str, float] = {}
+        for t in ts:
+            w[t] = w.get(t, 0.0) + 1.0
+        return ", ".join(f"('{_sq(t)}', {wt})" for t, wt in sorted(w.items()))
+
+    def expansion_select(kind: str, tok: str, edits: int) -> str:
+        if kind == "prefix":
+            return (
+                f"SELECT term, 1.0 AS w FROM df_all "
+                f"WHERE substr(term, 1, {len(tok)}) = '{_sq(tok)}' "
+                f"ORDER BY df DESC, term ASC LIMIT {max_prefix_terms}"
+            )
+        t, n = _sq(tok), len(tok)
+        pre = _sq(tok[:1])
+        return (
+            f"SELECT term, 1.0 - levenshtein(term, '{t}')::DOUBLE "
+            f"/ least(length(term), {n}) AS w FROM df_all "
+            f"WHERE substr(term, 1, {len(pre)}) = '{pre}' "
+            f"AND length(term) BETWEEN {n - edits} AND {n + edits} "
+            f"AND levenshtein(term, '{t}') <= {edits} "
+            f"ORDER BY df DESC, term ASC LIMIT {max_fuzzy_terms}"
+        )
+
+    score_expr = (
+        f"sum( q.w * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+        f"* tf.tf * ({k1} + 1.0) "
+        f"/ (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) )"
+    )
+
+    def term_pass_cte(name: str, q_sub: str, require_all: int | None) -> str:
+        having = f"HAVING count(*) = {require_all}" if require_all else ""
+        return (
+            f"{name} AS (\n"
+            f"  SELECT tf.doc_id, {score_expr} AS score\n"
+            f"  FROM tf JOIN ({q_sub}) q USING (term)\n"
+            f"  JOIN df_all d USING (term) JOIN dl USING (doc_id)\n"
+            f"  CROSS JOIN stats s GROUP BY tf.doc_id {having}\n)"
+        )
+
+    def phrase_cte(name: str, qtoks: list[str], slop: int) -> str:
+        m = len(qtoks)
+        cond = _phrase_pf_cond(qtoks, slop)
+        pos_vals = ", ".join(f"('{_sq(t)}')" for t in qtoks)
+        return (
+            f"{name} AS (\n"
+            f"  SELECT pf.doc_id,\n"
+            f"         i.w * pf.pf * ({k1} + 1.0)\n"
+            f"             / (pf.pf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) AS score\n"
+            f"  FROM (SELECT doc_id,\n"
+            f"               len(list_filter(range(1, len(toks) - {m} + 2), i -> {cond})) AS pf\n"
+            f"        FROM base WHERE len(toks) >= {m}) pf\n"
+            f"  JOIN dl USING (doc_id) CROSS JOIN stats s\n"
+            f"  CROSS JOIN (SELECT sum(idf) AS w FROM (VALUES {pos_vals}) p(term)\n"
+            f"              JOIN idf_all USING (term)) i\n"
+            f"  WHERE pf.pf > 0\n)"
+        )
+
+    ctes = [
+        f"base AS (SELECT doc_id, {toks_expr} AS toks FROM {table})",
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM base)",
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)",
+        "tf AS (SELECT b.doc_id, t.term, count(*) AS tf"
+        " FROM base b, unnest(b.toks) AS t(term) GROUP BY b.doc_id, t.term)",
+        "df_all AS (SELECT term, count(*) AS df FROM tf GROUP BY term)",
+        "idf_all AS (SELECT term, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf"
+        " FROM df_all CROSS JOIN stats s)",
+    ]
+
+    must_names: list[str] = []
+    if terms["must"]:
+        w = {}
+        for t in terms["must"]:
+            w[t] = w.get(t, 0.0) + 1.0
+        ctes.append(term_pass_cte(
+            "must_t",
+            f"SELECT * FROM (VALUES {weights_values(terms['must'])}) v(term, w)",
+            require_all=len(w),
+        ))
+        must_names.append("must_t")
+    for i, (occ, qt, slop) in enumerate(phrases):
+        if occ == "must":
+            ctes.append(phrase_cte(f"mph{i}", qt, slop))
+            must_names.append(f"mph{i}")
+    for i, (occ, kind, tok, edits) in enumerate(expansions):
+        if occ == "must":
+            ctes.append(term_pass_cte(f"mex{i}", expansion_select(kind, tok, edits),
+                                      require_all=None))
+            must_names.append(f"mex{i}")
+
+    should_names: list[str] = []
+    sh_parts: list[str] = []
+    if terms["should"]:
+        sh_parts.append(
+            f"SELECT * FROM (VALUES {weights_values(terms['should'])}) v(term, w)"
+        )
+    for occ, kind, tok, edits in expansions:
+        if occ == "should":
+            # subquery wrap: a bare ORDER BY/LIMIT inside a UNION ALL
+            # branch would bind to the whole union in DuckDB
+            sh_parts.append(
+                f"SELECT term, w FROM ({expansion_select(kind, tok, edits)}) e"
+            )
+    if sh_parts:
+        union = "\n    UNION ALL\n    ".join(sh_parts)
+        ctes.append(
+            "shq AS (SELECT term, sum(w) AS w FROM (\n    "
+            + union
+            + "\n  ) u GROUP BY term)"
+        )
+        ctes.append(term_pass_cte("sh_t", "SELECT * FROM shq", require_all=None))
+        should_names.append("sh_t")
+    for i, (occ, qt, slop) in enumerate(phrases):
+        if occ == "should":
+            ctes.append(phrase_cte(f"shph{i}", qt, slop))
+            should_names.append(f"shph{i}")
+
+    not_parts: list[str] = []
+    if terms["not"]:
+        vals = ", ".join(f"('{_sq(t)}')" for t in sorted(set(terms["not"])))
+        not_parts.append(
+            f"SELECT DISTINCT tf.doc_id FROM tf JOIN (VALUES {vals}) nq(term) USING (term)"
+        )
+    for occ, qt, slop in phrases:
+        if occ == "not":
+            m = len(qt)
+            cond = _phrase_pf_cond(qt, slop)
+            not_parts.append(
+                f"SELECT doc_id FROM base WHERE len(toks) >= {m} AND "
+                f"len(list_filter(range(1, len(toks) - {m} + 2), i -> {cond})) > 0"
+            )
+    for occ, kind, tok, edits in expansions:
+        if occ == "not":
+            not_parts.append(
+                f"SELECT DISTINCT tf.doc_id FROM tf JOIN ({expansion_select(kind, tok, edits)}) nq USING (term)"
+            )
+    not_pred = ""
+    if not_parts:
+        ctes.append("notm AS (" + " UNION ".join(not_parts) + ")")
+        not_pred = "AND doc_id NOT IN (SELECT doc_id FROM notm)"
+
+    # combined score
+    if must_names:
+        joins = must_names[0] + " t0"
+        score_sum = "t0.score"
+        for j, nm in enumerate(must_names[1:], 1):
+            joins += f" JOIN {nm} t{j} USING (doc_id)"
+            score_sum += f" + t{j}.score"
+        if should_names:
+            sh_union = " UNION ALL ".join(f"SELECT * FROM {n}" for n in should_names)
+            ctes.append(
+                f"sh_sum AS (SELECT doc_id, sum(score) AS score FROM ({sh_union}) u GROUP BY doc_id)"
+            )
+            ctes.append(
+                f"combined AS (SELECT t0.doc_id, {score_sum} + coalesce(ss.score, 0.0) AS score\n"
+                f"  FROM {joins} LEFT JOIN sh_sum ss USING (doc_id))"
+            )
+        else:
+            ctes.append(
+                f"combined AS (SELECT t0.doc_id, {score_sum} AS score FROM {joins})"
+            )
+    else:
+        if not should_names:
+            raise ValueError("query needs at least one positive clause")
+        sh_union = " UNION ALL ".join(f"SELECT * FROM {n}" for n in should_names)
+        ctes.append(
+            f"combined AS (SELECT doc_id, sum(score) AS score FROM ({sh_union}) u GROUP BY doc_id)"
+        )
+
+    fq_pred = ""
+    if pq.filters:
+        def cond_sql(col: str, v) -> str:
+            ref = "dlt.dl" if col == "dl" else f"doc.{col}"
+            if isinstance(v, tuple):
+                if v[0] == "neq":
+                    return f"{ref} <> {_sql_lit(v[1])}"
+                if v[0] == "range":
+                    return f"{ref} BETWEEN {_sql_lit(v[1])} AND {_sql_lit(v[2])}"
+                if v[0] == "all":
+                    return "(" + " AND ".join(cond_sql(col, s) for s in v[1]) + ")"
+                raise ValueError(f"unknown fq op {v[0]!r}")
+            return f"{ref} = {_sql_lit(v)}"
+
+        conds = " AND ".join(cond_sql(c, v) for c, v in sorted(pq.filters.items()))
+        fq_pred = (
+            f"AND doc_id IN (SELECT doc.doc_id FROM {table} doc "
+            f"JOIN dl dlt ON doc.doc_id = dlt.doc_id WHERE {conds})"
+        )
+
+    ctes.append(
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank\n"
+        f"  FROM combined WHERE TRUE {not_pred} {fq_pred})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT rank::int AS rank, doc_id, round(score, 6) AS score"
+        + f"\nFROM ranked WHERE rank <= {k}"
+    )

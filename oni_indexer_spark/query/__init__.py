@@ -2,6 +2,7 @@ from oni_indexer_spark.query.bm25 import (  # noqa: F401
     fuzzy_topk,
     more_like_this,
     prefix_topk,
+    search,
     snippet_topk,
     topk,
     topk_direct,

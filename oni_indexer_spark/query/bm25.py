@@ -133,7 +133,9 @@ def _fq_condition(col: str, v) -> Column:
     ``("neq", v)`` tuple is exclusion (``-lang:en`` — NULLs excluded,
     matching SQL ``<>`` so the DuckDB oracle twin is exact); a
     ``("range", lo, hi)`` tuple is an inclusive range
-    (``dl:[lo TO hi]``). All three are plain comparisons on the doclen
+    (``dl:[lo TO hi]``); an ``("all", (cond, ...))`` tuple ANDs several
+    conditions on the same column (``dl:[5 TO 100] -dl:7``). All forms
+    are plain comparisons on the doclen
     metadata — they push down to the parquet scan as
     EqualTo / Not(EqualTo) / GreaterThanOrEqual+LessThanOrEqual."""
     if isinstance(v, tuple):
@@ -141,7 +143,12 @@ def _fq_condition(col: str, v) -> Column:
             return F.col(col) != F.lit(v[1])
         if v[0] == "range":
             return F.col(col).between(F.lit(v[1]), F.lit(v[2]))
-        raise ValueError(f"unknown fq op: {v[0]!r} (want 'neq' or 'range')")
+        if v[0] == "all":
+            out = _fq_condition(col, v[1][0])
+            for sub in v[1][1:]:
+                out = out & _fq_condition(col, sub)
+            return out
+        raise ValueError(f"unknown fq op: {v[0]!r} (want 'neq', 'range' or 'all')")
     return F.col(col) == F.lit(v)
 
 
@@ -1017,6 +1024,294 @@ class Searcher:
             scored = scored.where(F.col("doc_id") != F.lit(exclude_doc_id))
         return _ranked(scored, k)
 
+    def _clause_scores(
+        self,
+        dfs: dict[str, int],
+        mode: str = "or",
+        weights: dict[str, float] | None = None,
+        fq: dict | None = None,
+        allowed_bc=None,
+    ) -> DataFrame:
+        """Unranked exact (doc_id, score) for one term-set clause of a
+        boolean query — the k=None twin of ``_topk_from_dfs`` (no τ
+        pruning, no per-batch candidate selection: clause totals combine
+        with OTHER clauses downstream, so every matching doc's total
+        must leave the workers). Single-clause queries should use the
+        k-bounded ``_topk_from_dfs`` instead."""
+        import math
+
+        tables = self.tables
+        n_docs, avgdl = self.stats()
+        from oni_indexer_spark.hashing import xxhash64_str
+
+        idf = {
+            xxhash64_str(t): (weights[t] if weights else 1.0)
+            * math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+            for t, d in dfs.items()
+        }
+        p = tables.postings.where(
+            F.col("bucket").isin(_buckets_for(tables, list(dfs)))
+            & F.col("tid").isin(list(idf))
+        )
+        if mode == "and":
+            p = self._rare_block_prefilter(p, dfs, n_docs)
+        return _scores(
+            p, tables, idf, avgdl, mode, fq, k=None,
+            est_postings=sum(dfs.values()), allowed_bc=allowed_bc,
+        )
+
+    def _expansion(
+        self, kind: str, tok: str, edits: int, max_prefix_terms: int,
+        max_fuzzy_terms: int,
+    ) -> tuple[dict[str, int], dict[str, float]]:
+        """(dfs, weights) for a prefix/fuzzy clause inside a boolean
+        query — same expansion rules as prefix_topk / fuzzy_topk."""
+        if kind == "prefix":
+            exp = self.expand_prefix(tok, max_terms=max_prefix_terms)
+            return {t: d for t, d in exp}, {t: 1.0 for t, _ in exp}
+        exp = self.expand_fuzzy(tok, max_edits=edits, max_terms=max_fuzzy_terms)
+        return (
+            {t: d for t, d, _ in exp},
+            {t: 1.0 - ed / min(len(t), len(tok)) for t, _, ed in exp},
+        )
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        prune: bool | str = "auto",
+        max_prefix_terms: int = 128,
+        max_fuzzy_terms: int = 64,
+    ) -> DataFrame:
+        """Lucene-lite boolean search over a user-typed query string —
+        the Solr portal's actual input surface (the reference sends the
+        portal's query box to Solr's lucene parser over ``main_search``,
+        ``portal_base.json:18-23``). Grammar and exact semantics:
+        ``query/parser.py``; in short — ``+must -not should``, quoted
+        phrases (``"a b"~N``), wildcards (``pre*``), fuzzy (``word~1``),
+        metadata filters (``lang:en``, ``-lang:fr``, ``dl:[5 TO 100]``),
+        AND/OR/NOT keyword sugar. Score = Lucene BooleanQuery: sum of
+        matching MUST + SHOULD clause scores; MUST clauses are required,
+        MUST_NOT excluded, filters restrict results only.
+
+        Physical shape: single-clause queries dispatch to the k-bounded
+        fast paths (topk / phrase / prefix / fuzzy — pruning + per-batch
+        candidate selection stay on). Compound queries run one k=None
+        scoring pass PER CLAUSE GROUP (all MUST terms fuse into one
+        AND pass, all SHOULD terms + expansions fuse into one weighted
+        OR pass; each phrase is its own pass), then combine on doc_id:
+        inner joins across MUST clauses, one union+sum for SHOULD,
+        left-anti for MUST_NOT. Clause outputs are (doc_id, score)
+        pairs bounded by each clause's match count — the combination
+        shuffles at most Σ|clause matches| rows, never the corpus; a
+        selective filter ships into every pass as a broadcast doc set
+        (the fq pushdown), an unselective one is applied once as a
+        single doclen semi-join on the combined result."""
+        self._check_external_staleness()
+        from functools import reduce
+
+        from oni_indexer_spark.analyzer import analyzer_tokenize_py
+        from oni_indexer_spark.query.parser import parse_query
+
+        tables = self.tables
+        pq = parse_query(query)
+        an = tables.cfg.analyzer
+        fq = pq.filters or None
+
+        # analyze clause bodies (the analyzer is an index property);
+        # multi-token terms explode into one term per token (Solr q.op
+        # behavior), 1-token phrases rewrite to terms (Lucene)
+        terms: dict[str, list[str]] = {"must": [], "should": [], "not": []}
+        phrases: list[tuple[str, list[str], int]] = []
+        expansions: list[tuple[str, str, str, str, int]] = []
+        for c in pq.clauses:
+            toks = analyzer_tokenize_py(c.text, an)
+            if not toks:
+                continue
+            if c.kind == "phrase" and len(toks) >= 2:
+                phrases.append((c.occur, toks, c.slop))
+            elif c.kind in ("prefix", "fuzzy"):
+                # keep BOTH the raw body (fast paths re-analyze inside
+                # prefix_topk/fuzzy_topk — exactly one analysis) and the
+                # analyzed token (general path — matches the oracle,
+                # which analyzes once); stemming analyzers need not be
+                # idempotent, so never analyze twice
+                expansions.append((c.occur, c.kind, c.text, toks[0], c.slop))
+            else:
+                terms[c.occur].extend(toks)
+
+        def weights_of(ts: list[str]) -> dict[str, float]:
+            w: dict[str, float] = {}
+            for t in ts:
+                w[t] = w.get(t, 0.0) + 1.0
+            return w
+
+        # ---- single-clause fast paths (keep pruning / k-bounded selection)
+        n_pos = (
+            (1 if terms["must"] else 0)
+            + (1 if terms["should"] else 0)
+            + sum(1 for o, _, _ in phrases if o != "not")
+            + sum(1 for o, *_ in expansions if o != "not")
+        )
+        no_not = not terms["not"] and not any(
+            o == "not" for o, *_ in phrases
+        ) and not any(o == "not" for o, *_ in expansions)
+        if n_pos == 1 and no_not:
+            if terms["should"] and not phrases and not expansions:
+                w = weights_of(terms["should"])
+                dfs = self.term_dfs(list(w))
+                if not dfs:
+                    return _empty_result(tables)
+                return self._topk_from_dfs(
+                    dfs, k=k, mode="or", fq=fq, prune=prune,
+                    weights={t: w[t] for t in dfs},
+                )
+            if terms["must"] and not phrases and not expansions:
+                w = weights_of(terms["must"])
+                dfs = self.term_dfs(list(w))
+                if len(dfs) < len(w):
+                    return _empty_result(tables)
+                return self._topk_from_dfs(
+                    dfs, k=k, mode="and", fq=fq, prune=prune,
+                    weights={t: w[t] for t in dfs},
+                )
+            if len(phrases) == 1 and not expansions:
+                _, toks, slop = phrases[0]
+                allowed_bc = None
+                if fq is not None:
+                    fq_count, allowed_bc = self._fq_allowed(fq)
+                    if fq_count == 0:
+                        return _empty_result(tables)
+                scored = self._phrase_scores(
+                    toks,
+                    k if (fq is None or allowed_bc is not None) else None,
+                    fq=fq, allowed_bc=allowed_bc, slop=slop,
+                )
+                if scored is None:
+                    return _empty_result(tables)
+                return _ranked(scored, k)
+            if len(expansions) == 1 and not phrases:
+                _, kind, raw, _tok, edits = expansions[0]
+                if kind == "prefix":
+                    return self.prefix_topk(raw, k=k, fq=fq, prune=prune,
+                                            max_terms=max_prefix_terms)
+                return self.fuzzy_topk(raw, k=k, max_edits=edits, fq=fq,
+                                       prune=prune, max_terms=max_fuzzy_terms)
+
+        # ---- general boolean compositor
+        allowed_bc = None
+        if fq is not None:
+            fq_count, allowed_bc = self._fq_allowed(fq)
+            if fq_count == 0:
+                return _empty_result(tables)
+        # push the filter into every positive pass only when it runs
+        # in-worker (broadcast); otherwise apply ONE semi-join at the end
+        clause_fq = fq if allowed_bc is not None else None
+
+        must_parts: list[DataFrame] = []
+        if terms["must"]:
+            w = weights_of(terms["must"])
+            dfs = self.term_dfs(list(w))
+            if len(dfs) < len(w):
+                return _empty_result(tables)
+            must_parts.append(self._clause_scores(
+                dfs, mode="and", weights=w, fq=clause_fq, allowed_bc=allowed_bc))
+        for occ, toks, slop in phrases:
+            if occ != "must":
+                continue
+            s = self._phrase_scores(toks, None, fq=clause_fq,
+                                    allowed_bc=allowed_bc, slop=slop)
+            if s is None:
+                return _empty_result(tables)
+            must_parts.append(s)
+        for occ, kind, _raw, tok, edits in expansions:
+            if occ != "must":
+                continue
+            dfs, ws = self._expansion(kind, tok, edits, max_prefix_terms,
+                                      max_fuzzy_terms)
+            if not dfs:
+                return _empty_result(tables)
+            must_parts.append(self._clause_scores(
+                dfs, mode="or", weights=ws, fq=clause_fq, allowed_bc=allowed_bc))
+
+        should_parts: list[DataFrame] = []
+        sh_w = weights_of(terms["should"])
+        for occ, kind, _raw, tok, edits in expansions:
+            if occ != "should":
+                continue
+            _, ws = self._expansion(kind, tok, edits, max_prefix_terms,
+                                    max_fuzzy_terms)
+            for t, wt in ws.items():
+                sh_w[t] = sh_w.get(t, 0.0) + wt
+        if sh_w:
+            dfs = self.term_dfs(list(sh_w))
+            if dfs:
+                should_parts.append(self._clause_scores(
+                    dfs, mode="or", weights={t: sh_w[t] for t in dfs},
+                    fq=clause_fq, allowed_bc=allowed_bc))
+        for occ, toks, slop in phrases:
+            if occ != "should":
+                continue
+            s = self._phrase_scores(toks, None, fq=clause_fq,
+                                    allowed_bc=allowed_bc, slop=slop)
+            if s is not None:
+                should_parts.append(s)
+
+        not_sets: list[DataFrame] = []
+        if terms["not"]:
+            dfs = self.term_dfs(list(set(terms["not"])))
+            if dfs:
+                not_sets.append(self._clause_scores(dfs, mode="or")
+                                .select("doc_id"))
+        for occ, toks, slop in phrases:
+            if occ != "not":
+                continue
+            s = self._phrase_scores(toks, None, slop=slop)
+            if s is not None:
+                not_sets.append(s.select("doc_id"))
+        for occ, kind, _raw, tok, edits in expansions:
+            if occ != "not":
+                continue
+            dfs, _ = self._expansion(kind, tok, edits, max_prefix_terms,
+                                     max_fuzzy_terms)
+            if dfs:
+                not_sets.append(self._clause_scores(dfs, mode="or")
+                                .select("doc_id"))
+
+        if must_parts:
+            base = must_parts[0]
+            for d in must_parts[1:]:
+                base = base.join(
+                    d.withColumnRenamed("score", "score_r"), "doc_id"
+                ).select(
+                    "doc_id",
+                    (F.col("score") + F.col("score_r")).alias("score"),
+                )
+            if should_parts:
+                sh = reduce(DataFrame.unionByName, should_parts)
+                sh_sum = sh.groupBy("doc_id").agg(F.sum("score").alias("sh"))
+                base = base.join(sh_sum, "doc_id", "left").select(
+                    "doc_id",
+                    (F.col("score") + F.coalesce(F.col("sh"), F.lit(0.0)))
+                    .alias("score"),
+                )
+        else:
+            if not should_parts:
+                return _empty_result(tables)
+            base = (
+                reduce(DataFrame.unionByName, should_parts)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        for ns in not_sets:
+            base = base.join(ns, "doc_id", "left_anti")
+        if fq is not None and allowed_bc is None:
+            base = base.join(
+                _fq_keep(tables.doclen, fq).select("doc_id"), "doc_id",
+                "left_semi",
+            )
+        return _ranked(base, k)
+
     def expand_prefix(
         self, prefix: str, max_terms: int = 128
     ) -> list[tuple[str, int]]:
@@ -1248,8 +1543,6 @@ class Searcher:
         a broadcast sorted doc_id array into the scorer so per-batch
         candidate selection stays on; unselective filters disable
         selection and apply as a doclen semi-join after scoring."""
-        import math
-
         tables = self.tables
         cfg = tables.cfg
         if not cfg.positions:
@@ -1258,7 +1551,6 @@ class Searcher:
                 "(build with IndexConfig(positions=True))"
             )
         from oni_indexer_spark.analyzer import analyzer_tokenize_py
-        from oni_indexer_spark.hashing import xxhash64_str
 
         qtoks = analyzer_tokenize_py(query, cfg.analyzer)
         if not qtoks:
@@ -1268,14 +1560,50 @@ class Searcher:
             fq_count, allowed_bc = self._fq_allowed(fq)
             if fq_count == 0:
                 return _empty_result(tables)
-        n_docs, avgdl = self.stats()
-        distinct = sorted(set(qtoks))
-        dfs = self.term_dfs(distinct)
-        if len(dfs) < len(distinct):
-            return _empty_result(tables)  # a missing term → no phrase match
         if len(qtoks) == 1:
             # Lucene's 1-term rewrite (fq rides along unchanged)
             return self.topk(query, k=k, mode="or", fq=fq)
+        scored = self._phrase_scores(
+            qtoks,
+            # same rule as _scores: only keep per-batch candidate
+            # selection on when the filter runs in-worker
+            k if (fq is None or allowed_bc is not None) else None,
+            fq=fq,
+            allowed_bc=allowed_bc,
+            slop=slop,
+        )
+        if scored is None:
+            return _empty_result(tables)
+        return _ranked(scored, k)
+
+    def _phrase_scores(
+        self,
+        qtoks: list[str],
+        k_sel: int | None,
+        fq: dict | None = None,
+        allowed_bc=None,
+        slop: int = 0,
+    ):
+        """Unranked exact phrase scores (doc_id, score) for an ANALYZED
+        token sequence (len ≥ 2), or ``None`` when a query term is
+        absent from the dictionary (no phrase can match). ``k_sel``
+        enables per-batch candidate selection — pass it ONLY when this
+        clause alone determines the final ranking (a boolean compositor
+        must pass None: clause totals combine downstream, so every
+        matching doc's total has to leave the workers). ``fq`` composes
+        as in ``_scores``: a broadcast doc set filters in-worker, an
+        unselective filter becomes a doclen semi-join here."""
+        import math
+
+        tables = self.tables
+        cfg = tables.cfg
+        from oni_indexer_spark.hashing import xxhash64_str
+
+        distinct = sorted(set(qtoks))
+        dfs = self.term_dfs(distinct)
+        if len(dfs) < len(distinct):
+            return None  # a missing term → no phrase match
+        n_docs, avgdl = self.stats()
         idf = {
             t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
         }
@@ -1297,9 +1625,7 @@ class Searcher:
         scored = co.mapInArrow(
             _make_decode_phrase_group_arrow(
                 cfg.block_size, tid_offsets, idf_sum, float(avgdl), cfg.k1, cfg.b,
-                # same rule as _scores: only keep per-batch candidate
-                # selection on when the filter runs in-worker
-                k if (fq is None or allowed_bc is not None) else None,
+                k_sel,
                 allowed_bc=allowed_bc,
                 slop=slop,
             ),
@@ -1308,7 +1634,7 @@ class Searcher:
         if fq and allowed_bc is None:
             keep = _fq_keep(tables.doclen, fq)
             scored = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
-        return _ranked(scored, k)
+        return scored
 
 
 # Module-level convenience: one cached Searcher per IndexTables instance,
@@ -1359,6 +1685,12 @@ def topk(
     return searcher_for(tables).topk(
         query, k=k, mode=mode, fq=fq, prune=prune, slop=slop
     )
+
+
+def search(tables: IndexTables, query: str, k: int = 10, **kw) -> DataFrame:
+    """Functional façade over :meth:`Searcher.search` (Lucene-lite
+    boolean query strings — see query/parser.py for the grammar)."""
+    return searcher_for(tables).search(query, k=k, **kw)
 
 
 def prefix_topk(tables: IndexTables, prefix: str, k: int = 10, **kw) -> DataFrame:

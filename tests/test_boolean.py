@@ -1,0 +1,151 @@
+"""Lucene-lite boolean query strings (Searcher.search) vs the DuckDB
+oracle twin (oracle.boolean_query_sql) — both sides share the SAME
+``query/parser.parse_query``, so a green row proves the clause
+compositor (MUST join / SHOULD union-sum / MUST_NOT anti-join / filter
+semantics), not just the parse.
+
+This is the Solr portal's actual input surface: the reference forwards
+the portal query box to Solr's lucene parser over ``main_search``
+(``portal_base.json:18-23``).
+"""
+
+import duckdb
+import pytest
+
+from oni_indexer_spark.index import IndexConfig, build_index
+from oni_indexer_spark.oracle import boolean_query_sql
+from oni_indexer_spark.query import search
+from oni_indexer_spark.query.parser import Clause, parse_query
+from tests.conftest import SF_SMOKE
+
+CFG = IndexConfig(block_size=64, n_buckets=8, positions=True)
+
+
+def _oracle_rows(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    return [(r[0], r[1], round(r[2], 6)) for r in con.execute(sql).fetchall()]
+
+
+def _rows(df):
+    return [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def btables(docs):
+    t = build_index(docs, CFG)
+    t.postings.cache().count()
+    t.dfreq.cache().count()
+    return t
+
+
+# ------------------------------------------------------------ parser
+
+def test_parse_occur_and_kinds():
+    pq = parse_query('+hash -scan join "merge sort"~2 snake* fix~1')
+    assert pq.clauses == (
+        Clause("term", "must", "hash"),
+        Clause("term", "not", "scan"),
+        Clause("term", "should", "join"),
+        Clause("phrase", "should", "merge sort", 2),
+        Clause("prefix", "should", "snake"),
+        Clause("fuzzy", "should", "fix", 1),
+    )
+
+
+def test_parse_keywords_and_filters():
+    pq = parse_query("hash AND join NOT scan lang:en -repo:x dl:[5 TO 100]")
+    assert [c.occur for c in pq.clauses] == ["must", "must", "not"]
+    assert pq.filters == {
+        "lang": "en",
+        "repo": ("neq", "x"),
+        "dl": ("range", 5, 100),
+    }
+
+
+def test_parse_same_field_filters_merge():
+    pq = parse_query("x dl:7 dl:[5 TO 100]")
+    assert pq.filters == {"dl": ("all", (7, ("range", 5, 100)))}
+
+
+def test_parse_bare_fuzzy_defaults_to_two_edits():
+    pq = parse_query("merge~")
+    assert pq.clauses == (Clause("fuzzy", "should", "merge", 2),)
+    assert parse_query("merge~0").clauses == (Clause("term", "should", "merge"),)
+
+
+@pytest.mark.parametrize("bad", ["(a b)", "-only", "NOT x", "-dl:[1 TO 2] x", "lang:en"])
+def test_parse_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+# --------------------------------------------------- engine vs oracle
+
+BOOLEAN_QUERIES = [
+    "hash join",                       # plain OR (fast path)
+    "+hash +join",                     # pure MUST (AND fast path)
+    "hash AND join",                   # keyword sugar
+    "+hash join merge",                # MUST + SHOULD compositor
+    "+hash -scan join",                # MUST + NOT + SHOULD
+    '"merge sort" hash',               # phrase + term
+    '+"merge sort" hash',              # MUST phrase
+    'hash -"merge sort"',              # NOT phrase
+    '"hash join"~2 merge',             # sloppy phrase clause
+    "snake* merge",                    # prefix expansion clause
+    "+merge~1 hash",                   # MUST fuzzy
+    "-snake* merge hash",              # NOT prefix
+    "hash join lang:en",               # filter
+    "+hash join dl:[3 TO 400] -lang:fr",
+    "hash hash join",                  # duplicate SHOULD term → weight 2
+    "+hash +hash join",                # duplicate MUST term
+    "NOT scan hash join",
+    "zzz_missing hash",                # absent SHOULD term drops out
+    "+zzz_missing hash",               # absent MUST term → empty
+    "+hash -zzz_missing join",
+    "merge lang:en lang:fr",           # contradictory filters → empty
+    'the AND scan AND merge -sort "hash join" window~1 lang:en',  # kitchen sink
+]
+
+
+@pytest.mark.parametrize("q", BOOLEAN_QUERIES)
+def test_boolean_matches_oracle(btables, q):
+    got = _rows(search(btables, q, k=10))
+    exp = _oracle_rows(boolean_query_sql(q, k=10))
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp], "rank/doc"
+    for g, e in zip(got, exp):
+        assert abs(g[2] - e[2]) < 1e-6
+
+
+def test_boolean_fast_path_equals_topk(btables):
+    """'hash join' through search() must equal topk(mode='or') exactly
+    (the single-clause dispatch keeps the k-bounded fast path)."""
+    from oni_indexer_spark.query import topk
+
+    assert _rows(search(btables, "hash join", k=10)) == _rows(
+        topk(btables, "hash join", k=10)
+    )
+    assert _rows(search(btables, "+hash +join", k=10)) == _rows(
+        topk(btables, "hash join", k=10, mode="and")
+    )
+    assert _rows(search(btables, '"hash join"', k=10)) == _rows(
+        topk(btables, "hash join", k=10, mode="phrase")
+    )
+
+
+def test_boolean_must_not_is_subtractive(btables):
+    """Every doc in '+hash -scan' must appear in '+hash' with the SAME
+    score (MUST_NOT never changes scoring, only membership)."""
+    full = {d: s for _, d, s in _rows(search(btables, "+hash", k=1000))}
+    sub = _rows(search(btables, "+hash -scan", k=1000))
+    assert sub, "corpus should have hash-without-scan docs"
+    for _, d, s in sub:
+        assert full[d] == s
+    excluded = set(full) - {d for _, d, _ in sub}
+    with_scan = {d for _, d, _ in _rows(search(btables, "+scan", k=10000))}
+    assert excluded <= with_scan
