@@ -186,6 +186,31 @@ def _q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_page_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr sort + start/rows paging: page 2 (start=10, rows=10) of
+    'hash join' ordered by dl desc — field sort over the match set,
+    TakeOrdered bounded at start+rows."""
+    from oni_indexer_spark.query import page
+
+    return _rounded(
+        page(_index(spark, sf_dir), "hash join", rows=10,
+             sort=[("dl", "desc")], start=10)
+    )
+
+
+def _q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr cursorMark deep paging: the page strictly after sort key
+    (dl=100, doc_id=50) in (dl desc, doc_id asc) order — the keyset
+    predicate filters BEFORE the TakeOrdered, so page N costs page 1
+    at any depth."""
+    from oni_indexer_spark.query import page
+
+    return _rounded(
+        page(_index(spark, sf_dir), "hash join", rows=10,
+             sort=[("dl", "desc")], cursor=(100, 50))
+    )
+
+
 def _q_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _index(spark, sf_dir)
     return (
@@ -886,9 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compacted_topk": _q_compacted_topk,
         "text_repetition": _q_repetition,
         "text_pii_counts": _q_pii,
-        "etl_reverse_via": _q_etl_reverse_via,
         "etl_facet_multi": _q_etl_facet_multi,
-        "schema_dynamic_fields": _q_schema_dynamic_fields,
         "dedup_minhash_lsh": _q_minhash_lsh,
         # NEW r5: transitive closure of the LSH pairs (large-star/small-star)
         "dedup_cluster_cc": _q_dedup_cluster,
@@ -936,6 +959,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — green r3+r4; MinHash-LSH + exact + simhash dedup siblings
         # keep the dedup family driver-covered)
         "bm25_boolean": _q_boolean,
+        # Solr paging surface (slots from schema_dynamic_fields +
+        # etl_reverse_via — both green r3+r4; dynamic-field coverage
+        # stays via etl_facet_multi/copyfield, reverse-hop via
+        # etl_reverse_location at tail)
+        "bm25_page_sorted": _q_page_sorted,
+        "bm25_cursor_page": _q_cursor_page,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -965,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         # n-gram jaccard rotated to tail for bm25_boolean (green r3+r4)
         "dedup_ngram_jaccard": _q_jaccard,
+        "etl_reverse_via": _q_etl_reverse_via,
+        "schema_dynamic_fields": _q_schema_dynamic_fields,
         # phrase x fq composition (r5 late fix: phrase mode previously
         # ignored fq; now composes like OR/AND — parameter variant,
         # pytest-oracled at the tail)
@@ -1039,6 +1070,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_mlt": oracle.mlt_topk_sql(42, k=10),
         "bm25_phrase_slop": oracle.bm25_phrase_topk_sql("hash join", k=10, slop=2),
         "bm25_boolean": oracle.boolean_query_sql(_BOOLEAN_Q, k=10),
+        "bm25_page_sorted": oracle.page_sql(
+            "hash join", rows=10, sort=[("dl", "desc")], start=10
+        ),
+        "bm25_cursor_page": oracle.page_sql(
+            "hash join", rows=10, sort=[("dl", "desc")], cursor=(100, 50)
+        ),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
             "hash join", k=10, fq_lang="en"
         ),

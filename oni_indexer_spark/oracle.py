@@ -677,3 +677,111 @@ def boolean_query_sql(
         + f"\nSELECT rank::int AS rank, doc_id, round(score, 6) AS score"
         + f"\nFROM ranked WHERE rank <= {k}"
     )
+
+
+# ------------------------------------------------------------- paging
+
+
+def page_sql(
+    query: str,
+    rows: int = 10,
+    mode: str = "or",
+    sort=None,
+    start: int = 0,
+    cursor: tuple | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+    fq_sub: str | None = None,
+) -> str:
+    """Oracle twin of ``query.paging.page`` (Solr sort + start/rows and
+    cursorMark keyset paging) for or/and term queries: score the full
+    match set, order by the sort spec — ``score`` compares on
+    ``round(score, 6)``, metadata fields (``dl`` from the token-length
+    CTE, others from the documents view) compare natively, ``doc_id``
+    asc is the implicit final tiebreak — then slice ``(start,
+    start+rows]`` or apply the lexicographic keyset predicate and take
+    the first ``rows``. rank is the 1-based position WITHIN the page."""
+    terms = query_terms(query, analyzer)
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    spec = [(f, d.lower()) for f, d in (sort or (("score", "desc"),))]
+    if "doc_id" not in [f for f, _ in spec]:
+        spec.append(("doc_id", "asc"))
+
+    def key_sql(f: str) -> str:
+        if f == "score":
+            return "round(m.score, 6)"
+        if f in ("dl", "doc_id"):
+            return f"m.{f}"
+        return f"m.{f}"
+
+    order = ", ".join(f"{key_sql(f)} {d.upper()}" for f, d in spec)
+    cursor_pred = ""
+    if cursor is not None:
+        if start:
+            raise ValueError("start and cursor are mutually exclusive")
+        if len(cursor) != len(spec):
+            raise ValueError("cursor arity != sort arity (incl. doc_id tiebreak)")
+        ors = []
+        for i, (f, d) in enumerate(spec):
+            op = "<" if d == "desc" else ">"
+            parts = [
+                f"{key_sql(spec[j][0])} = {_sql_lit(cursor[j])}" for j in range(i)
+            ]
+            parts.append(f"{key_sql(f)} {op} {_sql_lit(cursor[i])}")
+            ors.append("(" + " AND ".join(parts) + ")")
+        cursor_pred = "AND (" + " OR ".join(ors) + ")"
+
+    meta_cols = sorted({f for f, _ in spec if f not in ("score", "doc_id", "dl")})
+    meta_sel = "".join(f", doc.{c}" for c in meta_cols)
+    having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    fq_pred = f"AND m.doc_id IN ({fq_sub})" if fq_sub else ""
+    if cursor is not None:
+        slice_pred, rank_expr, lim = f"gr <= {rows}", "gr", rows
+    else:
+        slice_pred, rank_expr, lim = (
+            f"gr > {start} AND gr <= {start + rows}",
+            f"gr - {start}",
+            start + rows,
+        )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT b.doc_id, t.term, count(*) AS tf
+  FROM base b, unnest(b.toks) AS t(term)
+  GROUP BY b.doc_id, t.term
+),
+q(term) AS (VALUES {_values(sorted(set(terms)))}),
+qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT qtf.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * qtf.tf * ({k1} + 1.0)
+              / (qtf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM qtf
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qtf.doc_id
+  {having}
+),
+m AS (
+  SELECT s.doc_id, s.score, dlt.dl{meta_sel}
+  FROM scored s JOIN dl dlt ON s.doc_id = dlt.doc_id
+  JOIN {table} doc ON s.doc_id = doc.doc_id
+),
+pg AS (
+  SELECT m.doc_id, m.score,
+         row_number() OVER (ORDER BY {order}) AS gr
+  FROM m WHERE TRUE {cursor_pred} {fq_pred}
+)
+SELECT ({rank_expr})::int AS rank, doc_id, round(score, 6) AS score
+FROM pg WHERE {slice_pred} ORDER BY gr
+""".strip()

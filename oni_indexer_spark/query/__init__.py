@@ -8,3 +8,4 @@ from oni_indexer_spark.query.bm25 import (  # noqa: F401
     topk_direct,
 )
 from oni_indexer_spark.query.facets import facet_counts  # noqa: F401
+from oni_indexer_spark.query.paging import page  # noqa: F401

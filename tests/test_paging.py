@@ -1,0 +1,118 @@
+"""Solr-style paging (sort + start/rows, cursorMark keyset) vs the
+DuckDB oracle, plus the paging invariants that make cursors usable:
+walking pages by cursor reconstructs the full ordered result exactly,
+and page N by cursor equals page N by offset.
+"""
+
+import duckdb
+import pytest
+
+from oni_indexer_spark.index import IndexConfig, build_index
+from oni_indexer_spark.oracle import page_sql
+from oni_indexer_spark.query import page
+from tests.conftest import SF_SMOKE
+
+CFG = IndexConfig(block_size=64, n_buckets=8)
+
+
+def _oracle_rows(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    return [(r[0], r[1], round(r[2], 6)) for r in con.execute(sql).fetchall()]
+
+
+def _rows(df):
+    return [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def ptab(docs):
+    t = build_index(docs, CFG)
+    t.postings.cache().count()
+    t.dfreq.cache().count()
+    t.doclen.cache().count()
+    return t
+
+
+CASES = [
+    dict(query="hash join", rows=10),
+    dict(query="hash join", rows=10, start=10),
+    dict(query="hash join", rows=7, start=33),
+    dict(query="hash join", rows=10, sort=[("dl", "desc")]),
+    dict(query="hash join", rows=10, sort=[("dl", "asc"), ("score", "desc")]),
+    dict(query="hash join", rows=10, sort=[("lang", "asc"), ("dl", "desc")], start=5),
+    dict(query="hash join", rows=10, mode="and", sort=[("dl", "desc")]),
+    dict(query="hash join", rows=10, sort=[("dl", "desc")], cursor=(100, 50)),
+    dict(query="merge", rows=10, cursor=(1.0, 0)),  # score-keyed cursor
+]
+
+
+@pytest.mark.parametrize("c", CASES)
+def test_page_matches_oracle(ptab, c):
+    assert _rows(page(ptab, **c)) == _oracle_rows(page_sql(**c))
+
+
+def test_cursor_walk_reconstructs_full_ordering(ptab, docs):
+    """Walk ALL pages by cursorMark (dl desc) and compare to the one-shot
+    ordering — the continuity contract deep paging relies on."""
+    dl_of = {r["doc_id"]: r["dl"] for r in ptab.doclen.select("doc_id", "dl").collect()}
+    full = _rows(page(ptab, "hash join", rows=10_000, sort=[("dl", "desc")]))
+    walked, cursor = [], None
+    while True:
+        p = _rows(page(ptab, "hash join", rows=37, sort=[("dl", "desc")], cursor=cursor))
+        if not p:
+            break
+        walked.extend((d, s) for _, d, s in p)
+        last_doc = p[-1][1]
+        cursor = (dl_of[last_doc], last_doc)
+    assert walked == [(d, s) for _, d, s in full]
+    assert len(walked) > 37  # actually exercised multiple pages
+
+
+def test_cursor_equals_offset_page(ptab):
+    p1 = _rows(page(ptab, "hash join", rows=10))
+    last = p1[-1]
+    by_cursor = _rows(page(ptab, "hash join", rows=10, cursor=(last[2], last[1])))
+    by_start = _rows(page(ptab, "hash join", rows=10, start=10))
+    assert by_cursor == by_start
+
+
+def test_page_rejects_bad_args(ptab):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        page(ptab, "hash", rows=5, start=5, cursor=(1.0, 0))
+    with pytest.raises(ValueError, match="sort direction"):
+        page(ptab, "hash", rows=5, sort=[("dl", "down")])
+    with pytest.raises(ValueError, match="cursor has"):
+        page(ptab, "hash", rows=5, cursor=(1.0,)).collect()
+
+
+def test_page_with_fq(ptab):
+    got = _rows(page(ptab, "hash join", rows=10, sort=[("dl", "desc")],
+                     fq={"lang": "en"}))
+    exp = _oracle_rows(page_sql(
+        "hash join", rows=10, sort=[("dl", "desc")],
+        fq_sub="SELECT doc_id FROM documents WHERE lang = 'en'",
+    ))
+    assert got == exp
+
+
+def test_phrase_mode_paging(ptab, docs):
+    """Phrase paging (no SQL twin here — phrase page vs the ranked
+    phrase query re-sorted in Python over the full match set)."""
+    t = build_index(docs, IndexConfig(block_size=64, n_buckets=8, positions=True))
+    from oni_indexer_spark.query import topk
+
+    full = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in topk(t, "hash join", k=10_000, mode="phrase").collect()
+    ]
+    dl_of = {r["doc_id"]: r["dl"] for r in t.doclen.select("doc_id", "dl").collect()}
+    exp = sorted(full, key=lambda x: (-dl_of[x[0]], x[0]))[:10]
+    got = [(d, s) for _, d, s in _rows(
+        page(t, "hash join", rows=10, mode="phrase", sort=[("dl", "desc")]))]
+    assert got == exp
