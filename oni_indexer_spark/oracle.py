@@ -464,38 +464,37 @@ def boolean_query_sql(
     pq = parse_query(query)
     toks_expr = analyzer_tokens_sql(text_col, analyzer)
 
-    terms: dict[str, list[str]] = {"must": [], "should": [], "not": []}
-    phrases: list[tuple[str, list[str], int]] = []
-    expansions: list[tuple[str, str, str, int]] = []
+    terms: dict[str, dict[str, float]] = {"must": {}, "should": {}, "not": {}}
+    phrases: list[tuple[str, list[str], int, float]] = []
+    expansions: list[tuple[str, str, str, int, float]] = []
     for c in pq.clauses:
         toks = analyzer_tokenize_py(c.text, analyzer)
         if not toks:
             continue
         if c.kind == "phrase" and len(toks) >= 2:
-            phrases.append((c.occur, toks, c.slop))
+            phrases.append((c.occur, toks, c.slop, c.boost))
         elif c.kind in ("prefix", "fuzzy"):
-            expansions.append((c.occur, c.kind, toks[0], c.slop))
+            expansions.append((c.occur, c.kind, toks[0], c.slop, c.boost))
         else:
-            terms[c.occur].extend(toks)
+            w = terms[c.occur]
+            for t in toks:
+                w[t] = w.get(t, 0.0) + c.boost
 
-    def weights_values(ts: list[str]) -> str:
-        w: dict[str, float] = {}
-        for t in ts:
-            w[t] = w.get(t, 0.0) + 1.0
+    def weights_values(w: dict[str, float]) -> str:
         return ", ".join(f"('{_sq(t)}', {wt})" for t, wt in sorted(w.items()))
 
-    def expansion_select(kind: str, tok: str, edits: int) -> str:
+    def expansion_select(kind: str, tok: str, edits: int, boost: float = 1.0) -> str:
         if kind == "prefix":
             return (
-                f"SELECT term, 1.0 AS w FROM df_all "
+                f"SELECT term, {boost} AS w FROM df_all "
                 f"WHERE substr(term, 1, {len(tok)}) = '{_sq(tok)}' "
                 f"ORDER BY df DESC, term ASC LIMIT {max_prefix_terms}"
             )
         t, n = _sq(tok), len(tok)
         pre = _sq(tok[:1])
         return (
-            f"SELECT term, 1.0 - levenshtein(term, '{t}')::DOUBLE "
-            f"/ least(length(term), {n}) AS w FROM df_all "
+            f"SELECT term, {boost} * (1.0 - levenshtein(term, '{t}')::DOUBLE "
+            f"/ least(length(term), {n})) AS w FROM df_all "
             f"WHERE substr(term, 1, {len(pre)}) = '{pre}' "
             f"AND length(term) BETWEEN {n - edits} AND {n + edits} "
             f"AND levenshtein(term, '{t}') <= {edits} "
@@ -518,7 +517,7 @@ def boolean_query_sql(
             f"  CROSS JOIN stats s GROUP BY tf.doc_id {having}\n)"
         )
 
-    def phrase_cte(name: str, qtoks: list[str], slop: int) -> str:
+    def phrase_cte(name: str, qtoks: list[str], slop: int, boost: float = 1.0) -> str:
         m = len(qtoks)
         cond = _phrase_pf_cond(qtoks, slop)
         pos_vals = ", ".join(f"('{_sq(t)}')" for t in qtoks)
@@ -531,7 +530,7 @@ def boolean_query_sql(
             f"               len(list_filter(range(1, len(toks) - {m} + 2), i -> {cond})) AS pf\n"
             f"        FROM base WHERE len(toks) >= {m}) pf\n"
             f"  JOIN dl USING (doc_id) CROSS JOIN stats s\n"
-            f"  CROSS JOIN (SELECT sum(idf) AS w FROM (VALUES {pos_vals}) p(term)\n"
+            f"  CROSS JOIN (SELECT sum(idf) * {boost} AS w FROM (VALUES {pos_vals}) p(term)\n"
             f"              JOIN idf_all USING (term)) i\n"
             f"  WHERE pf.pf > 0\n)"
         )
@@ -549,23 +548,21 @@ def boolean_query_sql(
 
     must_names: list[str] = []
     if terms["must"]:
-        w = {}
-        for t in terms["must"]:
-            w[t] = w.get(t, 0.0) + 1.0
         ctes.append(term_pass_cte(
             "must_t",
             f"SELECT * FROM (VALUES {weights_values(terms['must'])}) v(term, w)",
-            require_all=len(w),
+            require_all=len(terms["must"]),
         ))
         must_names.append("must_t")
-    for i, (occ, qt, slop) in enumerate(phrases):
+    for i, (occ, qt, slop, boost) in enumerate(phrases):
         if occ == "must":
-            ctes.append(phrase_cte(f"mph{i}", qt, slop))
+            ctes.append(phrase_cte(f"mph{i}", qt, slop, boost))
             must_names.append(f"mph{i}")
-    for i, (occ, kind, tok, edits) in enumerate(expansions):
+    for i, (occ, kind, tok, edits, boost) in enumerate(expansions):
         if occ == "must":
-            ctes.append(term_pass_cte(f"mex{i}", expansion_select(kind, tok, edits),
-                                      require_all=None))
+            ctes.append(term_pass_cte(
+                f"mex{i}", expansion_select(kind, tok, edits, boost),
+                require_all=None))
             must_names.append(f"mex{i}")
 
     should_names: list[str] = []
@@ -574,12 +571,12 @@ def boolean_query_sql(
         sh_parts.append(
             f"SELECT * FROM (VALUES {weights_values(terms['should'])}) v(term, w)"
         )
-    for occ, kind, tok, edits in expansions:
+    for occ, kind, tok, edits, boost in expansions:
         if occ == "should":
             # subquery wrap: a bare ORDER BY/LIMIT inside a UNION ALL
             # branch would bind to the whole union in DuckDB
             sh_parts.append(
-                f"SELECT term, w FROM ({expansion_select(kind, tok, edits)}) e"
+                f"SELECT term, w FROM ({expansion_select(kind, tok, edits, boost)}) e"
             )
     if sh_parts:
         union = "\n    UNION ALL\n    ".join(sh_parts)
@@ -590,18 +587,18 @@ def boolean_query_sql(
         )
         ctes.append(term_pass_cte("sh_t", "SELECT * FROM shq", require_all=None))
         should_names.append("sh_t")
-    for i, (occ, qt, slop) in enumerate(phrases):
+    for i, (occ, qt, slop, boost) in enumerate(phrases):
         if occ == "should":
-            ctes.append(phrase_cte(f"shph{i}", qt, slop))
+            ctes.append(phrase_cte(f"shph{i}", qt, slop, boost))
             should_names.append(f"shph{i}")
 
     not_parts: list[str] = []
     if terms["not"]:
-        vals = ", ".join(f"('{_sq(t)}')" for t in sorted(set(terms["not"])))
+        vals = ", ".join(f"('{_sq(t)}')" for t in sorted(terms["not"]))
         not_parts.append(
             f"SELECT DISTINCT tf.doc_id FROM tf JOIN (VALUES {vals}) nq(term) USING (term)"
         )
-    for occ, qt, slop in phrases:
+    for occ, qt, slop, _boost in phrases:
         if occ == "not":
             m = len(qt)
             cond = _phrase_pf_cond(qt, slop)
@@ -609,7 +606,7 @@ def boolean_query_sql(
                 f"SELECT doc_id FROM base WHERE len(toks) >= {m} AND "
                 f"len(list_filter(range(1, len(toks) - {m} + 2), i -> {cond})) > 0"
             )
-    for occ, kind, tok, edits in expansions:
+    for occ, kind, tok, edits, _boost in expansions:
         if occ == "not":
             not_parts.append(
                 f"SELECT DISTINCT tf.doc_id FROM tf JOIN ({expansion_select(kind, tok, edits)}) nq USING (term)"

@@ -1121,36 +1121,35 @@ class Searcher:
         # analyze clause bodies (the analyzer is an index property);
         # multi-token terms explode into one term per token (Solr q.op
         # behavior), 1-token phrases rewrite to terms (Lucene)
-        terms: dict[str, list[str]] = {"must": [], "should": [], "not": []}
-        phrases: list[tuple[str, list[str], int]] = []
-        expansions: list[tuple[str, str, str, str, int]] = []
+        # per-occur term weights: each analyzed token of a term clause
+        # adds the clause's ^boost (multiplicity and boosts both fold
+        # into the idf weight — Lucene sums equal clauses' scores)
+        terms: dict[str, dict[str, float]] = {"must": {}, "should": {}, "not": {}}
+        phrases: list[tuple[str, list[str], int, float]] = []
+        expansions: list[tuple[str, str, str, str, int, float]] = []
         for c in pq.clauses:
             toks = analyzer_tokenize_py(c.text, an)
             if not toks:
                 continue
             if c.kind == "phrase" and len(toks) >= 2:
-                phrases.append((c.occur, toks, c.slop))
+                phrases.append((c.occur, toks, c.slop, c.boost))
             elif c.kind in ("prefix", "fuzzy"):
                 # keep BOTH the raw body (fast paths re-analyze inside
                 # prefix_topk/fuzzy_topk — exactly one analysis) and the
                 # analyzed token (general path — matches the oracle,
                 # which analyzes once); stemming analyzers need not be
                 # idempotent, so never analyze twice
-                expansions.append((c.occur, c.kind, c.text, toks[0], c.slop))
+                expansions.append((c.occur, c.kind, c.text, toks[0], c.slop, c.boost))
             else:
-                terms[c.occur].extend(toks)
-
-        def weights_of(ts: list[str]) -> dict[str, float]:
-            w: dict[str, float] = {}
-            for t in ts:
-                w[t] = w.get(t, 0.0) + 1.0
-            return w
+                w = terms[c.occur]
+                for t in toks:
+                    w[t] = w.get(t, 0.0) + c.boost
 
         # ---- single-clause fast paths (keep pruning / k-bounded selection)
         n_pos = (
             (1 if terms["must"] else 0)
             + (1 if terms["should"] else 0)
-            + sum(1 for o, _, _ in phrases if o != "not")
+            + sum(1 for o, *_ in phrases if o != "not")
             + sum(1 for o, *_ in expansions if o != "not")
         )
         no_not = not terms["not"] and not any(
@@ -1158,7 +1157,7 @@ class Searcher:
         ) and not any(o == "not" for o, *_ in expansions)
         if n_pos == 1 and no_not:
             if terms["should"] and not phrases and not expansions:
-                w = weights_of(terms["should"])
+                w = terms["should"]
                 dfs = self.term_dfs(list(w))
                 if not dfs:
                     return _empty_result(tables)
@@ -1167,7 +1166,7 @@ class Searcher:
                     weights={t: w[t] for t in dfs},
                 )
             if terms["must"] and not phrases and not expansions:
-                w = weights_of(terms["must"])
+                w = terms["must"]
                 dfs = self.term_dfs(list(w))
                 if len(dfs) < len(w):
                     return _empty_result(tables)
@@ -1176,7 +1175,7 @@ class Searcher:
                     weights={t: w[t] for t in dfs},
                 )
             if len(phrases) == 1 and not expansions:
-                _, toks, slop = phrases[0]
+                _, toks, slop, boost = phrases[0]
                 allowed_bc = None
                 if fq is not None:
                     fq_count, allowed_bc = self._fq_allowed(fq)
@@ -1185,18 +1184,27 @@ class Searcher:
                 scored = self._phrase_scores(
                     toks,
                     k if (fq is None or allowed_bc is not None) else None,
-                    fq=fq, allowed_bc=allowed_bc, slop=slop,
+                    fq=fq, allowed_bc=allowed_bc, slop=slop, boost=boost,
                 )
                 if scored is None:
                     return _empty_result(tables)
                 return _ranked(scored, k)
             if len(expansions) == 1 and not phrases:
-                _, kind, raw, _tok, edits = expansions[0]
-                if kind == "prefix":
-                    return self.prefix_topk(raw, k=k, fq=fq, prune=prune,
-                                            max_terms=max_prefix_terms)
-                return self.fuzzy_topk(raw, k=k, max_edits=edits, fq=fq,
-                                       prune=prune, max_terms=max_fuzzy_terms)
+                _, kind, raw, _tok, edits, boost = expansions[0]
+                if boost == 1.0:
+                    if kind == "prefix":
+                        return self.prefix_topk(raw, k=k, fq=fq, prune=prune,
+                                                max_terms=max_prefix_terms)
+                    return self.fuzzy_topk(raw, k=k, max_edits=edits, fq=fq,
+                                           prune=prune, max_terms=max_fuzzy_terms)
+                dfs, ws = self._expansion(kind, _tok, edits, max_prefix_terms,
+                                          max_fuzzy_terms)
+                if not dfs:
+                    return _empty_result(tables)
+                return self._topk_from_dfs(
+                    dfs, k=k, mode="or", fq=fq, prune=prune,
+                    weights={t: w * boost for t, w in ws.items()},
+                )
 
         # ---- general boolean compositor
         allowed_bc = None
@@ -1210,21 +1218,21 @@ class Searcher:
 
         must_parts: list[DataFrame] = []
         if terms["must"]:
-            w = weights_of(terms["must"])
+            w = terms["must"]
             dfs = self.term_dfs(list(w))
             if len(dfs) < len(w):
                 return _empty_result(tables)
             must_parts.append(self._clause_scores(
                 dfs, mode="and", weights=w, fq=clause_fq, allowed_bc=allowed_bc))
-        for occ, toks, slop in phrases:
+        for occ, toks, slop, boost in phrases:
             if occ != "must":
                 continue
             s = self._phrase_scores(toks, None, fq=clause_fq,
-                                    allowed_bc=allowed_bc, slop=slop)
+                                    allowed_bc=allowed_bc, slop=slop, boost=boost)
             if s is None:
                 return _empty_result(tables)
             must_parts.append(s)
-        for occ, kind, _raw, tok, edits in expansions:
+        for occ, kind, _raw, tok, edits, boost in expansions:
             if occ != "must":
                 continue
             dfs, ws = self._expansion(kind, tok, edits, max_prefix_terms,
@@ -1232,44 +1240,45 @@ class Searcher:
             if not dfs:
                 return _empty_result(tables)
             must_parts.append(self._clause_scores(
-                dfs, mode="or", weights=ws, fq=clause_fq, allowed_bc=allowed_bc))
+                dfs, mode="or", weights={t: w * boost for t, w in ws.items()},
+                fq=clause_fq, allowed_bc=allowed_bc))
 
         should_parts: list[DataFrame] = []
-        sh_w = weights_of(terms["should"])
-        for occ, kind, _raw, tok, edits in expansions:
+        sh_w = dict(terms["should"])
+        for occ, kind, _raw, tok, edits, boost in expansions:
             if occ != "should":
                 continue
             _, ws = self._expansion(kind, tok, edits, max_prefix_terms,
                                     max_fuzzy_terms)
             for t, wt in ws.items():
-                sh_w[t] = sh_w.get(t, 0.0) + wt
+                sh_w[t] = sh_w.get(t, 0.0) + wt * boost
         if sh_w:
             dfs = self.term_dfs(list(sh_w))
             if dfs:
                 should_parts.append(self._clause_scores(
                     dfs, mode="or", weights={t: sh_w[t] for t in dfs},
                     fq=clause_fq, allowed_bc=allowed_bc))
-        for occ, toks, slop in phrases:
+        for occ, toks, slop, boost in phrases:
             if occ != "should":
                 continue
             s = self._phrase_scores(toks, None, fq=clause_fq,
-                                    allowed_bc=allowed_bc, slop=slop)
+                                    allowed_bc=allowed_bc, slop=slop, boost=boost)
             if s is not None:
                 should_parts.append(s)
 
         not_sets: list[DataFrame] = []
         if terms["not"]:
-            dfs = self.term_dfs(list(set(terms["not"])))
+            dfs = self.term_dfs(list(terms["not"]))
             if dfs:
                 not_sets.append(self._clause_scores(dfs, mode="or")
                                 .select("doc_id"))
-        for occ, toks, slop in phrases:
+        for occ, toks, slop, _boost in phrases:
             if occ != "not":
                 continue
             s = self._phrase_scores(toks, None, slop=slop)
             if s is not None:
                 not_sets.append(s.select("doc_id"))
-        for occ, kind, _raw, tok, edits in expansions:
+        for occ, kind, _raw, tok, edits, _boost in expansions:
             if occ != "not":
                 continue
             dfs, _ = self._expansion(kind, tok, edits, max_prefix_terms,
@@ -1583,6 +1592,7 @@ class Searcher:
         fq: dict | None = None,
         allowed_bc=None,
         slop: int = 0,
+        boost: float = 1.0,
     ):
         """Unranked exact phrase scores (doc_id, score) for an ANALYZED
         token sequence (len ≥ 2), or ``None`` when a query term is
@@ -1607,7 +1617,7 @@ class Searcher:
         idf = {
             t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
         }
-        idf_sum = float(sum(idf[t] for t in qtoks))
+        idf_sum = float(sum(idf[t] for t in qtoks)) * boost
         tid_offsets = [(xxhash64_str(t), j) for j, t in enumerate(qtoks)]
         buckets = _buckets_for(tables, distinct)
         tids = sorted({t for t, _ in tid_offsets})

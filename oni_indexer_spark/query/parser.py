@@ -19,6 +19,8 @@ Grammar (flat boolean — no parentheses/nesting, documented limitation):
 - ``-field:value``     → negated filter (``<>`` — NULLs excluded)
 - ``field:[lo TO hi]`` → inclusive range filter
 - ``field:"v w"``      → exact-match filter on a value with spaces
+- ``x^N`` / ``"a b"^N`` → query-time boost (any clause kind; composes
+                          with slop/fuzzy: ``"a b"~2^3``, ``fix~1^0.5``)
 
 Scoring semantics are Lucene ``BooleanQuery`` (post-6.0, no coord): the
 document score is the SUM of its matching MUST and SHOULD clause scores;
@@ -47,12 +49,16 @@ class Clause:
     ``text``: the raw body (analyzed later — the analyzer is an index
     property, not a parse property).
     ``slop``: phrase slop, or fuzzy max_edits for kind="fuzzy".
+    ``boost``: Lucene ``^N`` query-time boost — multiplies the clause's
+    score contribution (idf weight for term-set clauses, the summed-idf
+    pseudo-term weight for phrases). 1.0 = unboosted.
     """
 
     kind: str
     occur: str
     text: str
     slop: int = 0
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -82,7 +88,7 @@ _TOKEN = re.compile(
           | "(?P<fqq>[^"]*)"
           | (?P<fval>[^\s"]+)
         )
-      | "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?
+      | "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
       | (?P<word>[^\s"]+)
     )
     """,
@@ -141,21 +147,28 @@ def parse_query(q: str) -> ParsedQuery:
         if m.group("phrase") is not None:
             body = m.group("phrase")
             slop = int(m.group("pslop") or 0)
-            raw.append(("clause", Clause("phrase", occur, body, slop)))
+            boost = float(m.group("pboost") or 1.0)
+            raw.append(("clause", Clause("phrase", occur, body, slop, boost)))
             continue
         w = m.group("word")
         if not sign and w in _KEYWORDS:
             raw.append(("kw", w))
             continue
+        boost = 1.0
+        bm = re.fullmatch(r"(.+?)\^(\d+(?:\.\d+)?)", w)
+        if bm:
+            w, boost = bm.group(1), float(bm.group(2))
         fm = re.fullmatch(r"(.+?)~(\d?)", w)
         if w.endswith("*") and len(w) > 1:
-            raw.append(("clause", Clause("prefix", occur, w[:-1])))
+            raw.append(("clause", Clause("prefix", occur, w[:-1], 0, boost)))
         elif fm:
             edits = int(fm.group(2)) if fm.group(2) else 2
             kind = "term" if edits == 0 else "fuzzy"
-            raw.append(("clause", Clause(kind, occur, fm.group(1), min(edits, 2))))
+            raw.append(
+                ("clause", Clause(kind, occur, fm.group(1), min(edits, 2), boost))
+            )
         else:
-            raw.append(("clause", Clause("term", occur, w)))
+            raw.append(("clause", Clause("term", occur, w, 0, boost)))
 
     # keyword sugar → occur rewrites (explicit +/- signs win)
     items: list[object] = []
@@ -173,7 +186,9 @@ def parse_query(q: str) -> ParsedQuery:
                     prev = items[j]
                     if isinstance(prev, Clause):
                         if prev.occur == "should":
-                            items[j] = Clause(prev.kind, "must", prev.text, prev.slop)
+                            items[j] = Clause(
+                                prev.kind, "must", prev.text, prev.slop, prev.boost
+                            )
                         break
             continue
         if tag == "filter":
@@ -182,9 +197,9 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         c: Clause = val
         if pending_not and c.occur == "should":
-            c = Clause(c.kind, "not", c.text, c.slop)
+            c = Clause(c.kind, "not", c.text, c.slop, c.boost)
         elif pending_and and c.occur == "should":
-            c = Clause(c.kind, "must", c.text, c.slop)
+            c = Clause(c.kind, "must", c.text, c.slop, c.boost)
         items.append(c)
         pending_not = pending_and = False
 

@@ -149,3 +149,43 @@ def test_boolean_must_not_is_subtractive(btables):
     excluded = set(full) - {d for _, d, _ in sub}
     with_scan = {d for _, d, _ in _rows(search(btables, "+scan", k=10000))}
     assert excluded <= with_scan
+
+
+# -------------------------------------------------------------- boost
+
+BOOSTED_QUERIES = [
+    "hash^2 join",                    # boosted SHOULD term
+    "+hash^3 -scan join",             # boosted MUST term
+    '"merge sort"^2.5 hash',          # boosted phrase clause
+    '"hash join"~2^3 merge',          # slop + boost compose
+    "snake*^2 merge",                 # boosted prefix expansion
+    "merge~1^0.5 hash",               # boosted fuzzy expansion
+    "hash^2 hash join",               # boost + multiplicity sum (w=3)
+]
+
+
+@pytest.mark.parametrize("q", BOOSTED_QUERIES)
+def test_boost_matches_oracle(btables, q):
+    got = _rows(search(btables, q, k=10))
+    exp = _oracle_rows(boolean_query_sql(q, k=10))
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp], "rank/doc"
+    for g, e in zip(got, exp):
+        assert abs(g[2] - e[2]) < 1e-6
+
+
+def test_boost_scales_scores_linearly(btables):
+    """A single-clause query boosted by 2 must double every score while
+    preserving order — Lucene's boost is a pure score multiplier."""
+    base = _rows(search(btables, "hash", k=20))
+    boosted = _rows(search(btables, "hash^2", k=20))
+    assert [(r, d) for r, d, _ in base] == [(r, d) for r, d, _ in boosted]
+    for (_, _, s1), (_, _, s2) in zip(base, boosted):
+        assert abs(s2 - 2 * s1) < 1e-5
+
+
+def test_boost_parse():
+    pq = parse_query('x^2 "a b"~1^3.5 pre*^4 f~2^0.5')
+    assert [(c.kind, c.boost, c.slop) for c in pq.clauses] == [
+        ("term", 2.0, 0), ("phrase", 3.5, 1), ("prefix", 4.0, 0),
+        ("fuzzy", 0.5, 2),
+    ]
