@@ -211,6 +211,30 @@ def _q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.range over dl: 50-wide buckets on [0, 500), zero-filled
+    (mincount=0 default) — bucket expr is codegen'd, zero-fill joins a
+    driver-built bucket list (query-parameter-sized, never data-sized)."""
+    from oni_indexer_spark.query.facets import facet_range
+
+    return facet_range(_index(spark, sf_dir).doclen, "dl", 0, 500, 50)
+
+
+def _q_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr stats component over dl: count/missing/min/max/sum/mean in
+    one partial-aggregated scan."""
+    from oni_indexer_spark.query.facets import field_stats
+
+    t = _index(spark, sf_dir)
+    return field_stats(t.doclen, "dl").select(
+        "count", "missing",
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        F.col("sum").cast("long").alias("sum"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
 def _q_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _index(spark, sf_dir)
     return (
@@ -911,7 +935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compacted_topk": _q_compacted_topk,
         "text_repetition": _q_repetition,
         "text_pii_counts": _q_pii,
-        "etl_facet_multi": _q_etl_facet_multi,
         "dedup_minhash_lsh": _q_minhash_lsh,
         # NEW r5: transitive closure of the LSH pairs (large-star/small-star)
         "dedup_cluster_cc": _q_dedup_cluster,
@@ -965,6 +988,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # etl_reverse_location at tail)
         "bm25_page_sorted": _q_page_sorted,
         "bm25_cursor_page": _q_cursor_page,
+        # range facets + stats component (slots from etl_facet_multi +
+        # etl_match_multi — both green r3+r4; facet family stays
+        # driver-covered by facet_lang/facet_content_multi/facet_repo)
+        "facet_range_dl": _q_facet_range,
+        "stats_dl": _q_field_stats,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -986,7 +1014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_via_includes": _q_etl_via_includes,
         "etl_map_all": _q_etl_map_all,
         "etl_type_dispatch": _q_etl_type_dispatch,
-        "etl_match_multi": _q_etl_match_multi,
         "etl_config_pipeline": _q_etl_config_pipeline,
         "etl_resolve_fixpoint": _q_etl_fixpoint,
         "dedup_minhash_sig": _q_minhash,
@@ -996,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_jaccard,
         "etl_reverse_via": _q_etl_reverse_via,
         "schema_dynamic_fields": _q_schema_dynamic_fields,
+        "etl_facet_multi": _q_etl_facet_multi,
+        "etl_match_multi": _q_etl_match_multi,
         # phrase x fq composition (r5 late fix: phrase mode previously
         # ignored fq; now composes like OR/AND — parameter variant,
         # pytest-oracled at the tail)
@@ -1076,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_cursor_page": oracle.page_sql(
             "hash join", rows=10, sort=[("dl", "desc")], cursor=(100, 50)
         ),
+        "facet_range_dl": oracle.facet_range_sql("dl", 0, 500, 50),
+        "stats_dl": oracle.field_stats_sql("dl"),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
             "hash join", k=10, fq_lang="en"
         ),

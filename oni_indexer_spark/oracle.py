@@ -782,3 +782,69 @@ pg AS (
 SELECT ({rank_expr})::int AS rank, doc_id, round(score, 6) AS score
 FROM pg WHERE {slice_pred} ORDER BY gr
 """.strip()
+
+
+# ------------------------------------------------- range facets / stats
+
+
+def _num_field_cte(field: str, table: str, text_col: str) -> tuple[str, str]:
+    """(CTE prelude, value-relation) for a numeric field: ``dl`` is the
+    analyzed token length (the engine reads it off doclen), anything
+    else is a raw document column."""
+    if field == "dl":
+        toks = duckdb_tokens_sql(text_col)
+        return (
+            f"vals AS (SELECT doc_id, len({toks})::bigint AS v FROM {table})",
+            "vals",
+        )
+    return f"vals AS (SELECT doc_id, {field} AS v FROM {table})", "vals"
+
+
+def facet_range_sql(
+    field: str,
+    start,
+    end,
+    gap,
+    mincount: int = 0,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of ``facets.facet_range`` (Solr facet.range): every
+    ``gap``-wide bucket over ``[start, end)`` with its count, zero-filled
+    (mincount=0), values outside the window excluded."""
+    import math as _m
+
+    n = int(_m.ceil((end - start) / gap))
+    cte, rel = _num_field_cte(field, table, text_col)
+    having = f"WHERE count >= {mincount}" if mincount else ""
+    return f"""
+WITH {cte},
+buckets AS (
+  SELECT ({start} + range * {gap})::bigint AS bucket_start FROM range({n})
+),
+counts AS (
+  SELECT ({start} + floor((v - {start}) / {gap}) * {gap})::bigint AS bucket_start,
+         count(*) AS cnt
+  FROM {rel} WHERE v IS NOT NULL AND v >= {start} AND v < {end}
+  GROUP BY 1
+)
+SELECT bucket_start, coalesce(cnt, 0)::bigint AS count
+FROM buckets LEFT JOIN counts USING (bucket_start)
+{having}
+ORDER BY bucket_start
+""".strip()
+
+
+def field_stats_sql(
+    field: str, table: str = "documents", text_col: str = "text"
+) -> str:
+    """Oracle twin of ``facets.field_stats`` (Solr stats component)."""
+    cte, rel = _num_field_cte(field, table, text_col)
+    return f"""
+WITH {cte}
+SELECT count(v)::bigint AS count,
+       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::bigint AS missing,
+       min(v) AS min, max(v) AS max,
+       sum(v)::bigint AS sum, avg(v)::double AS mean
+FROM {rel}
+""".strip()

@@ -11,6 +11,8 @@ parquet/Iceberg scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,3 +45,68 @@ def filter_query(df: DataFrame, filters: dict[str, str]) -> DataFrame:
 def id_lookup(df: DataFrame, doc_id: int) -> DataFrame:
     """Exact-id record view (C10) — min/max + bloom skipping at scale."""
     return df.where(F.col("doc_id") == doc_id)
+
+
+def facet_range(
+    df: DataFrame,
+    field: str,
+    start,
+    end,
+    gap,
+    mincount: int = 0,
+) -> DataFrame:
+    """Solr ``facet.range``: histogram of ``field`` over ``[start, end)``
+    in ``gap``-wide buckets — ``(bucket_start, count)``, every bucket
+    present (Solr's default ``mincount=0``; raise it to drop empties).
+    Values outside the window are excluded (Solr's default
+    ``other=none``).
+
+    Scale shape: bucket assignment is one codegen'd expression
+    (``floor((v - start) / gap)``), counts are one partial-aggregated
+    groupBy over at most ``(end-start)/gap`` distinct keys, and the
+    zero-fill joins a DRIVER-BUILT bucket list (the bucket count is a
+    query parameter, never data-sized) broadcast against the counts."""
+    if gap <= 0 or end <= start:
+        raise ValueError("facet_range needs gap > 0 and end > start")
+    n_buckets = int(math.ceil((end - start) / gap))
+    spark = df.sparkSession
+    buckets = spark.range(int(n_buckets)).select(
+        (F.lit(start) + F.col("id") * F.lit(gap)).alias("bucket_start")
+    )
+    v = F.col(field)
+    counts = (
+        df.where(v.isNotNull() & (v >= F.lit(start)) & (v < F.lit(end)))
+        .select(
+            (F.lit(start) + F.floor((v - F.lit(start)) / F.lit(gap)) * F.lit(gap))
+            .alias("bucket_start")
+        )
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    out = (
+        buckets.join(F.broadcast(counts), "bucket_start", "left")
+        .select(
+            "bucket_start",
+            F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"),
+        )
+    )
+    if mincount:
+        out = out.where(F.col("count") >= mincount)
+    return out.orderBy("bucket_start")
+
+
+def field_stats(df: DataFrame, field: str) -> DataFrame:
+    """Solr ``stats`` component over a numeric field: one row
+    ``(count, missing, min, max, sum, mean)`` — count/missing follow
+    Solr (count = non-null values, missing = docs without a value);
+    one scan, one partial-aggregated reduce, no shuffle wider than the
+    final 1-row combine."""
+    v = F.col(field)
+    return df.agg(
+        F.count(v).alias("count"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("missing"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+        F.avg(v).alias("mean"),
+    )

@@ -116,3 +116,58 @@ def test_phrase_mode_paging(ptab, docs):
     got = [(d, s) for _, d, s in _rows(
         page(t, "hash join", rows=10, mode="phrase", sort=[("dl", "desc")]))]
     assert got == exp
+
+
+# ------------------------------------------- range facets / stats (C8+)
+
+def test_facet_range_matches_oracle(ptab):
+    from oni_indexer_spark.oracle import facet_range_sql
+    from oni_indexer_spark.query.facets import facet_range
+
+    got = [(r["bucket_start"], r["count"])
+           for r in facet_range(ptab.doclen, "dl", 0, 500, 50).collect()]
+    exp = [(r[0], r[1]) for r in _oracle_rows_raw(facet_range_sql("dl", 0, 500, 50))]
+    assert got == exp
+    assert sum(c for _, c in got) == 500  # every doc in exactly one bucket
+    assert len(got) == 10  # zero-filled buckets present
+
+
+def test_facet_range_mincount_and_window(ptab):
+    from oni_indexer_spark.oracle import facet_range_sql
+    from oni_indexer_spark.query.facets import facet_range
+
+    got = [(r["bucket_start"], r["count"])
+           for r in facet_range(ptab.doclen, "dl", 10, 100, 7, mincount=1).collect()]
+    exp = [(r[0], r[1])
+           for r in _oracle_rows_raw(facet_range_sql("dl", 10, 100, 7, mincount=1))]
+    assert got == exp
+    assert all(c >= 1 for _, c in got)
+
+
+def test_facet_range_rejects_bad_args(ptab):
+    import pytest as _pytest
+
+    from oni_indexer_spark.query.facets import facet_range
+
+    with _pytest.raises(ValueError):
+        facet_range(ptab.doclen, "dl", 0, 500, 0)
+    with _pytest.raises(ValueError):
+        facet_range(ptab.doclen, "dl", 500, 0, 10)
+
+
+def test_field_stats_matches_oracle(ptab):
+    from oni_indexer_spark.oracle import field_stats_sql
+    from oni_indexer_spark.query.facets import field_stats
+
+    g = field_stats(ptab.doclen, "dl").collect()[0]
+    e = _oracle_rows_raw(field_stats_sql("dl"))[0]
+    assert (g["count"], g["missing"], g["min"], g["max"], g["sum"]) == tuple(e[:5])
+    assert abs(g["mean"] - e[5]) < 1e-9
+
+
+def _oracle_rows_raw(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    return con.execute(sql).fetchall()
