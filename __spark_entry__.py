@@ -235,6 +235,18 @@ def _q_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_group_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr result grouping (group.field=repo): top 5 groups by best-doc
+    relevance, top 3 docs each — one shuffle by group key feeds both
+    window ranks; group cap is a 1-row-per-group TakeOrdered."""
+    from oni_indexer_spark.query import group_topk
+
+    out = group_topk(_index(spark, sf_dir), "hash join", "repo",
+                     k_groups=5, docs_per_group=3)
+    return out.select("grp_rank", "grp", "rank", "doc_id",
+                      F.round("score", 6).alias("score"))
+
+
 def _q_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _index(spark, sf_dir)
     return (
@@ -993,6 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-covered by facet_lang/facet_content_multi/facet_repo)
         "facet_range_dl": _q_facet_range,
         "stats_dl": _q_field_stats,
+        # grouping/collapse (slot from etl_type_dispatch — green r3+r4;
+        # B2/B5 dispatch stays in-window inside etl_config_pipeline)
+        "group_repo": _q_group_repo,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -1013,7 +1028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_subword_count": _q_subword,
         "etl_via_includes": _q_etl_via_includes,
         "etl_map_all": _q_etl_map_all,
-        "etl_type_dispatch": _q_etl_type_dispatch,
         "etl_config_pipeline": _q_etl_config_pipeline,
         "etl_resolve_fixpoint": _q_etl_fixpoint,
         "dedup_minhash_sig": _q_minhash,
@@ -1025,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_dynamic_fields": _q_schema_dynamic_fields,
         "etl_facet_multi": _q_etl_facet_multi,
         "etl_match_multi": _q_etl_match_multi,
+        "etl_type_dispatch": _q_etl_type_dispatch,
         # phrase x fq composition (r5 late fix: phrase mode previously
         # ignored fq; now composes like OR/AND — parameter variant,
         # pytest-oracled at the tail)
@@ -1106,6 +1121,9 @@ def oracle_sql() -> dict[str, str]:
             "hash join", rows=10, sort=[("dl", "desc")], cursor=(100, 50)
         ),
         "facet_range_dl": oracle.facet_range_sql("dl", 0, 500, 50),
+        "group_repo": oracle.group_topk_sql(
+            "hash join", "repo", k_groups=5, docs_per_group=3
+        ),
         "stats_dl": oracle.field_stats_sql("dl"),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
             "hash join", k=10, fq_lang="en"

@@ -710,8 +710,6 @@ def page_sql(
     def key_sql(f: str) -> str:
         if f == "score":
             return "round(m.score, 6)"
-        if f in ("dl", "doc_id"):
-            return f"m.{f}"
         return f"m.{f}"
 
     order = ", ".join(f"{key_sql(f)} {d.upper()}" for f, d in spec)
@@ -732,7 +730,7 @@ def page_sql(
         cursor_pred = "AND (" + " OR ".join(ors) + ")"
 
     meta_cols = sorted({f for f, _ in spec if f not in ("score", "doc_id", "dl")})
-    meta_sel = "".join(f", doc.{c}" for c in meta_cols)
+    meta_sel = "".join(f", doc.{_doc_col(c)} AS {c}" for c in meta_cols)
     having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
     fq_pred = f"AND m.doc_id IN ({fq_sub})" if fq_sub else ""
     if cursor is not None:
@@ -785,6 +783,13 @@ FROM pg WHERE {slice_pred} ORDER BY gr
 
 
 # ------------------------------------------------- range facets / stats
+
+
+def _doc_col(field: str) -> str:
+    """Engine metadata field → driver documents-view column (the engine
+    names ``source`` as ``repo`` and synthesizes ``path`` —
+    corpus.from_driver_documents)."""
+    return {"repo": "source"}.get(field, field)
 
 
 def _num_field_cte(field: str, table: str, text_col: str) -> tuple[str, str]:
@@ -847,4 +852,85 @@ SELECT count(v)::bigint AS count,
        min(v) AS min, max(v) AS max,
        sum(v)::bigint AS sum, avg(v)::double AS mean
 FROM {rel}
+""".strip()
+
+
+# ------------------------------------------------------------ grouping
+
+
+def group_topk_sql(
+    query: str,
+    group_field: str,
+    k_groups: int = 10,
+    docs_per_group: int = 3,
+    mode: str = "or",
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+    fq_sub: str | None = None,
+) -> str:
+    """Oracle twin of ``query.grouping.group_topk`` (Solr group.field):
+    docs rank within their group on (round(score,6) desc, doc_id asc),
+    groups rank by their best doc's (score, doc_id), both levels capped;
+    NULL group values form their own group (IS NOT DISTINCT FROM join)."""
+    terms = query_terms(query, analyzer)
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    fq_pred = f"AND s.doc_id IN ({fq_sub})" if fq_sub else ""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT b.doc_id, t.term, count(*) AS tf
+  FROM base b, unnest(b.toks) AS t(term)
+  GROUP BY b.doc_id, t.term
+),
+q(term) AS (VALUES {_values(sorted(set(terms)))}),
+qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT qtf.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * qtf.tf * ({k1} + 1.0)
+              / (qtf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM qtf
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qtf.doc_id
+  {having}
+),
+g AS (
+  SELECT s.doc_id, s.score, doc.{_doc_col(group_field)}::varchar AS grp
+  FROM scored s JOIN {table} doc ON s.doc_id = doc.doc_id
+  WHERE TRUE {fq_pred}
+),
+ranked AS (
+  SELECT doc_id, score, grp,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM g
+),
+kept AS (SELECT * FROM ranked WHERE rank <= {docs_per_group}),
+heads AS (
+  SELECT grp, round(score, 6) AS g_score, doc_id AS g_doc
+  FROM kept WHERE rank = 1
+),
+topg AS (
+  SELECT grp, g_score, g_doc FROM heads
+  ORDER BY g_score DESC, g_doc ASC LIMIT {k_groups}
+),
+topg_r AS (
+  SELECT grp, row_number() OVER (ORDER BY g_score DESC, g_doc ASC) AS grp_rank
+  FROM topg
+)
+SELECT t.grp_rank::int AS grp_rank, k.grp, k.rank::int AS rank,
+       k.doc_id, round(k.score, 6) AS score
+FROM kept k JOIN topg_r t ON k.grp IS NOT DISTINCT FROM t.grp
+ORDER BY grp_rank, rank
 """.strip()

@@ -7,5 +7,10 @@ from oni_indexer_spark.query.bm25 import (  # noqa: F401
     topk,
     topk_direct,
 )
-from oni_indexer_spark.query.facets import facet_counts  # noqa: F401
+from oni_indexer_spark.query.facets import (  # noqa: F401
+    facet_counts,
+    facet_range,
+    field_stats,
+)
+from oni_indexer_spark.query.grouping import group_topk  # noqa: F401
 from oni_indexer_spark.query.paging import page  # noqa: F401

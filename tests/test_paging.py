@@ -171,3 +171,73 @@ def _oracle_rows_raw(sql):
         f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
     )
     return con.execute(sql).fetchall()
+
+
+# --------------------------------------------------- grouping (collapse)
+
+@pytest.mark.parametrize("field,kg,m,mode", [
+    ("repo", 5, 3, "or"),
+    ("lang", 3, 2, "or"),
+    ("repo", 100, 1, "or"),     # k_groups > group count
+    ("repo", 10, 1, "and"),
+])
+def test_group_topk_matches_oracle(ptab, field, kg, m, mode):
+    from oni_indexer_spark.oracle import group_topk_sql
+    from oni_indexer_spark.query import group_topk
+
+    got = [(r["grp_rank"], r["grp"], r["rank"], r["doc_id"], round(r["score"], 6))
+           for r in group_topk(ptab, "hash join", field,
+                               k_groups=kg, docs_per_group=m, mode=mode).collect()]
+    exp = [(r[0], r[1], r[2], r[3], round(r[4], 6))
+           for r in _oracle_rows_raw(group_topk_sql(
+               "hash join", field, k_groups=kg, docs_per_group=m, mode=mode))]
+    assert got == exp
+    assert got, "grouping should return rows on this corpus"
+
+
+def test_group_topk_collapse_consistency(ptab):
+    """Each group's head doc must be the globally best-ranked doc of
+    that group in the flat ranking (collapse = keep best per group)."""
+    from oni_indexer_spark.query import group_topk, topk
+
+    flat = topk(ptab, "hash join", k=10_000).collect()
+    grp_of = {r["doc_id"]: r["repo"]
+              for r in ptab.doclen.select("doc_id", "repo").collect()}
+    best = {}
+    for r in flat:  # flat is rank-ordered
+        g = grp_of[r["doc_id"]]
+        best.setdefault(g, r["doc_id"])
+    rows = group_topk(ptab, "hash join", "repo", k_groups=100,
+                      docs_per_group=1).collect()
+    assert {(r["grp"], r["doc_id"]) for r in rows} == set(best.items())
+
+
+def test_group_topk_null_group(ptab, spark, docs):
+    """Docs with a NULL group value form their own group (Solr keeps a
+    null group) — exercised by nulling one repo value."""
+    from pyspark.sql import functions as F
+
+    from oni_indexer_spark.index import IndexConfig, build_index
+    from oni_indexer_spark.oracle import group_topk_sql
+    from oni_indexer_spark.query import group_topk
+
+    import duckdb as _dd
+
+    nulled = docs.withColumn(
+        "repo", F.when(F.col("doc_id") < 100, None).otherwise(F.col("repo"))
+    )
+    t = build_index(nulled, IndexConfig(block_size=64, n_buckets=8))
+    got = [(r["grp_rank"], r["grp"], r["rank"], r["doc_id"], round(r["score"], 6))
+           for r in group_topk(t, "hash join", "repo",
+                               k_groups=20, docs_per_group=2).collect()]
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT doc_id, text, CASE WHEN doc_id < 100 "
+        f"THEN NULL ELSE source END AS source, lang, n_chars "
+        f"FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    exp = [(r[0], r[1], r[2], r[3], round(r[4], 6))
+           for r in con.execute(group_topk_sql(
+               "hash join", "repo", k_groups=20, docs_per_group=2)).fetchall()]
+    assert got == exp
+    assert any(g[1] is None for g in got), "null group should appear"
