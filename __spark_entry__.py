@@ -247,6 +247,22 @@ def _q_group_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr TermsComponent/Suggester: dictionary terms extending 'me'
+    by (df desc, term asc) — one pushed-down dfreq scan."""
+    from oni_indexer_spark.query import suggest
+
+    return suggest(_index(spark, sf_dir), "me", count=10)
+
+
+def _q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr SpellCheckComponent: corrections for the typo 'scann'
+    within 2 classic-Levenshtein edits, identity excluded."""
+    from oni_indexer_spark.query import spellcheck
+
+    return spellcheck(_index(spark, sf_dir), "scann", count=5)
+
+
 def _q_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _index(spark, sf_dir)
     return (
@@ -1008,12 +1024,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouping/collapse (slot from etl_type_dispatch — green r3+r4;
         # B2/B5 dispatch stays in-window inside etl_config_pipeline)
         "group_repo": _q_group_repo,
+        # suggester + spellcheck (slots from copyfield_main_search +
+        # text_subword_count — both green r3+r4)
+        "suggest_me": _q_suggest,
+        "spellcheck_scann": _q_spellcheck,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
         "facet_lang": _q_facet_lang,
         "facet_repo": _q_facet_repo,
-        "copyfield_main_search": _q_copyfield,
         # NEW r5 (late): cross-doc duplicated-substring removal
         # (Lee et al. 2022 exact-substring dedup, suffix-array-free);
         # takes dedup_exact's window slot — exact dedup is green r1-r4
@@ -1025,7 +1044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "sample_mixture": _q_sample_mixture,
         "pack_sequences": _q_pack_sequences,
-        "text_subword_count": _q_subword,
         "etl_via_includes": _q_etl_via_includes,
         "etl_map_all": _q_etl_map_all,
         "etl_config_pipeline": _q_etl_config_pipeline,
@@ -1040,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_facet_multi": _q_etl_facet_multi,
         "etl_match_multi": _q_etl_match_multi,
         "etl_type_dispatch": _q_etl_type_dispatch,
+        "copyfield_main_search": _q_copyfield,
+        "text_subword_count": _q_subword,
         # phrase x fq composition (r5 late fix: phrase mode previously
         # ignored fq; now composes like OR/AND — parameter variant,
         # pytest-oracled at the tail)
@@ -1124,6 +1144,8 @@ def oracle_sql() -> dict[str, str]:
         "group_repo": oracle.group_topk_sql(
             "hash join", "repo", k_groups=5, docs_per_group=3
         ),
+        "suggest_me": oracle.suggest_sql("me", count=10),
+        "spellcheck_scann": oracle.spellcheck_sql("scann", count=5),
         "stats_dl": oracle.field_stats_sql("dl"),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(
             "hash join", k=10, fq_lang="en"

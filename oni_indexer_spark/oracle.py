@@ -934,3 +934,61 @@ SELECT t.grp_rank::int AS grp_rank, k.grp, k.rank::int AS rank,
 FROM kept k JOIN topg_r t ON k.grp IS NOT DISTINCT FROM t.grp
 ORDER BY grp_rank, rank
 """.strip()
+
+
+# ---------------------------------------------------- suggest / spellcheck
+
+
+def suggest_sql(
+    prefix: str,
+    count: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Oracle twin of ``query.suggest.suggest`` (Solr TermsComponent):
+    dictionary terms extending the analyzed prefix by (df desc, term
+    asc), df = distinct-doc frequency."""
+    toks_py = analyzer_tokenize_py(prefix, analyzer)
+    pre = _sq(toks_py[0]) if toks_py else ""
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    return f"""
+WITH toksd AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM {table}
+),
+df_all AS (SELECT term, count(*) AS df FROM toksd GROUP BY term)
+SELECT term, df::bigint AS df FROM df_all
+WHERE substr(term, 1, {len(pre)}) = '{pre}'
+ORDER BY df DESC, term ASC LIMIT {count}
+""".strip()
+
+
+def spellcheck_sql(
+    term: str,
+    count: int = 5,
+    max_edits: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Oracle twin of ``query.suggest.spellcheck``: corrections within
+    ``max_edits`` classic Levenshtein (identity excluded), shared first
+    character, by (df desc, term asc)."""
+    toks_py = analyzer_tokenize_py(term, analyzer)
+    t = _sq(toks_py[0]) if toks_py else ""
+    n = len(t)
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    return f"""
+WITH toksd AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM {table}
+),
+df_all AS (SELECT term, count(*) AS df FROM toksd GROUP BY term)
+SELECT term, df::bigint AS df,
+       levenshtein(term, '{t}')::int AS ed
+FROM df_all
+WHERE substr(term, 1, 1) = '{_sq(t[:1])}'
+  AND length(term) BETWEEN {n - max_edits} AND {n + max_edits}
+  AND term <> '{t}'
+  AND levenshtein(term, '{t}') <= {max_edits}
+ORDER BY df DESC, term ASC LIMIT {count}
+""".strip()

@@ -14,3 +14,4 @@ from oni_indexer_spark.query.facets import (  # noqa: F401
 )
 from oni_indexer_spark.query.grouping import group_topk  # noqa: F401
 from oni_indexer_spark.query.paging import page  # noqa: F401
+from oni_indexer_spark.query.suggest import spellcheck, suggest  # noqa: F401

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Quiet-window watcher for the scaling measurement.
+
+The sandbox host's memory bandwidth is contended on minute timescales
+by external tenants (BENCH/BASELINE.md round-5 section: five attempts,
+three windows, STREAM control never held ≥0.9 for a full run). This
+watcher probes the two hardware controls every few minutes and launches
+``scaling_bench.py`` only when THREE consecutive probes are clean
+(STREAM ≥ 0.88 AND ALU within [0.9, 1.1]) and no other heavy work is
+running — then records the attempt regardless of outcome, with the
+per-run controls making the window quality auditable.
+
+Usage: nohup python scripts/scaling_watch.py --out BENCH/scaling_r05_attempt6.json &
+State: writes progress lines to stdout; creates <out>.running while the
+measurement itself is in flight (so an operator/driver can avoid
+starting Spark work that would contaminate it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import scaling_bench as sb  # noqa: E402
+
+
+def clean_probe() -> tuple[bool, float, float]:
+    s = sb._control(sb._stream, 1)
+    a = sb._control(sb._burn, 1)
+    return (s >= 0.88 and 0.9 <= a <= 1.1), s, a
+
+
+def main() -> None:
+    out = "BENCH/scaling_r05_attempt6.json"
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    max_hours = 4.0
+    if "--hours" in sys.argv:
+        max_hours = float(sys.argv[sys.argv.index("--hours") + 1])
+    deadline = time.time() + max_hours * 3600
+    streak = 0
+    while time.time() < deadline:
+        load = os.getloadavg()[0]
+        if load > 3.0:
+            print(f"{time.strftime('%H:%M:%S')} busy (load {load:.1f}), skip probe",
+                  flush=True)
+            streak = 0
+            time.sleep(180)
+            continue
+        ok, s, a = clean_probe()
+        print(f"{time.strftime('%H:%M:%S')} probe STREAM={s:.3f} ALU={a:.3f} "
+              f"streak={'+' if ok else 'reset'}", flush=True)
+        streak = streak + 1 if ok else 0
+        if streak >= 3:
+            flag = os.path.join(REPO, out + ".running")
+            open(flag, "w").write(str(time.time()))
+            try:
+                print("window clean x3 — launching scaling_bench", flush=True)
+                p = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "scaling_bench.py"),
+                     "--docs", "1000000", "--n", "1", "--repeats", "3"],
+                    capture_output=True, text=True, timeout=6000,
+                )
+                line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
+                if p.returncode == 0 and line.startswith("{"):
+                    with open(os.path.join(REPO, out), "w") as f:
+                        f.write(line + "\n")
+                    print("recorded:", json.loads(line).get("scaling_efficiency"),
+                          flush=True)
+                else:
+                    print("scaling_bench failed:", p.stderr[-1000:], flush=True)
+            finally:
+                os.unlink(flag)
+            return
+        time.sleep(150)
+    print("deadline reached without a stable window", flush=True)
+
+
+if __name__ == "__main__":
+    main()

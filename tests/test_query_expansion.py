@@ -284,3 +284,35 @@ def test_snippet_anchor_fallback(tables, docs):
     )
     assert got == exp
     assert all(len(s.split(" ")) <= 11 for s in got.values())
+
+
+# ----------------------------------------- suggest / spellcheck (portal)
+
+def test_suggest_matches_oracle(tables):
+    from oni_indexer_spark.oracle import suggest_sql
+    from oni_indexer_spark.query import suggest
+
+    for pre in ("s", "me", "h", "zzqx"):
+        got = [(r["term"], r["df"]) for r in suggest(tables, pre, 10).collect()]
+        exp = [(r[0], r[1]) for r in _duck(suggest_sql(pre, 10))]
+        assert got == exp, pre
+    assert suggest(tables, "", 10).count() == 0
+
+
+def test_spellcheck_matches_oracle(tables):
+    from oni_indexer_spark.oracle import spellcheck_sql
+    from oni_indexer_spark.query import spellcheck
+
+    for w in ("scann", "merg", "hash", "windoq"):
+        got = [(r["term"], r["df"], r["ed"])
+               for r in spellcheck(tables, w).collect()]
+        exp = [tuple(r) for r in _duck(spellcheck_sql(w))]
+        assert got == exp, w
+
+
+def test_spellcheck_excludes_identity(tables):
+    from oni_indexer_spark.query import spellcheck
+
+    rows = spellcheck(tables, "merge").collect()
+    assert all(r["term"] != "merge" for r in rows)
+    assert all(1 <= r["ed"] <= 2 for r in rows)
