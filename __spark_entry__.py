@@ -368,6 +368,39 @@ def _q_overwrite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr delete-by-query: build, delete every lang='fr' doc plus ids
+    0-9 through the staged-swap machinery, and answer BM25 through the
+    shrunken index. The oracle computes over the equivalently-filtered
+    corpus, so any surviving condemned posting / stale dfreq decrement /
+    wrong stats correction hash-mismatches."""
+    import tempfile
+
+    from oni_indexer_spark.index import (
+        INDEX_FORMAT_VERSION,
+        build_to_path,
+        delete_docs,
+        read_index,
+    )
+    from oni_indexer_spark.session import ship_package
+
+    ship_package(spark)
+    try:
+        src_tag = str(int(os.path.getmtime(f"{sf_dir}/documents.parquet")))
+    except OSError:
+        src_tag = "0"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "oni_entry_del2_v%d_%s_%s"
+        % (INDEX_FORMAT_VERSION, sf_dir.strip("/").replace("/", "_"), src_tag),
+    )
+    docs = from_driver_documents(spark, sf_dir)
+    build_to_path(docs, path, _CFG, bucket_group_size=_CFG.n_buckets, resume=True)
+    delete_docs(path, spark, doc_ids=list(range(10)), fq={"lang": "fr"},
+                batch_id="entry_del")
+    return _rounded(topk(read_index(spark, path), "hash join", k=10))
+
+
 def _q_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment compaction (r4 VERDICT #1): build over 60% of the corpus,
     append the rest in two batches (3 stats segments, split boundary
@@ -963,7 +996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compacted_topk": _q_compacted_topk,
         "text_repetition": _q_repetition,
         "text_pii_counts": _q_pii,
-        "dedup_minhash_lsh": _q_minhash_lsh,
         # NEW r5: transitive closure of the LSH pairs (large-star/small-star)
         "dedup_cluster_cc": _q_dedup_cluster,
         "sim_ann_indexed": _q_ann_indexed,
@@ -1028,6 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_subword_count — both green r3+r4)
         "suggest_me": _q_suggest,
         "spellcheck_scann": _q_spellcheck,
+        # delete-by-query (slot from dedup_minhash_lsh — green r3+r4; the
+        # dedup family keeps minhash_sig, cluster_cc, span_remove, exact,
+        # simhash-at-tail driver/pytest coverage)
+        "delete_by_query_topk": _q_delete_topk,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -1058,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_facet_multi": _q_etl_facet_multi,
         "etl_match_multi": _q_etl_match_multi,
         "etl_type_dispatch": _q_etl_type_dispatch,
+        "dedup_minhash_lsh": _q_minhash_lsh,
         "copyfield_main_search": _q_copyfield,
         "text_subword_count": _q_subword,
         # phrase x fq composition (r5 late fix: phrase mode previously
@@ -1145,6 +1182,10 @@ def oracle_sql() -> dict[str, str]:
             "hash join", "repo", k_groups=5, docs_per_group=3
         ),
         "suggest_me": oracle.suggest_sql("me", count=10),
+        "delete_by_query_topk": oracle.bm25_topk_sql(
+            "hash join", k=10,
+            table="(SELECT * FROM documents WHERE doc_id >= 10 AND lang <> 'fr')",
+        ),
         "spellcheck_scann": oracle.spellcheck_sql("scann", count=5),
         "stats_dl": oracle.field_stats_sql("dl"),
         "bm25_phrase_fq": oracle.bm25_phrase_topk_sql(

@@ -7,6 +7,7 @@ from oni_indexer_spark.index.build import (  # noqa: F401
     build_index,
     build_to_path,
     compact_index,
+    delete_docs,
     overwrite_docs,
     read_index,
 )

@@ -895,6 +895,138 @@ def overwrite_docs(
     invalidate_searchers(path)
 
 
+def delete_docs(
+    path: str,
+    spark: SparkSession | None = None,
+    doc_ids=None,
+    fq: dict | None = None,
+    batch_id: str | None = None,
+    _fault_after_stage: bool = False,
+) -> int:
+    """Solr delete-by-id / delete-by-query (the reference's index uses
+    Solr's ``deleteByQuery`` — ``--purge`` wipes with ``*:*``; this is
+    the targeted form). ``doc_ids`` (a list or a 1-column DataFrame)
+    and/or ``fq`` (the same metadata-predicate dict every query mode
+    accepts — equality / ``("neq", v)`` / ``("range", lo, hi)``, applied
+    to doclen) select the condemned docs — their UNION when both are
+    given (two Solr delete requests batched into one swap); after the
+    call, queries answer exactly as a fresh build over the remaining
+    corpus. Returns the number of docs removed.
+
+    Same bounded write amplification and crash safety as
+    :func:`overwrite_docs` (this is its subtractive half): only the
+    (bucket, seg) directories containing condemned docs are rewritten —
+    survivors decode → re-encode to staged ``.next`` dirs; dfreq gets
+    exact decrements (terms reaching df=0 dropped); stats gets one
+    ``(-n_removed, avgdl_removed)`` correction row; a seg whose every
+    doc is condemned is removed via the manifest's ``deletes`` side.
+    The durable ``_pending_swap.json`` → :func:`_apply_swap` sequence
+    makes a crash at any point replayable while the live index keeps
+    serving."""
+    from oni_indexer_spark.query.bm25 import _decoded, _fq_keep, invalidate_searchers
+
+    spark = spark or SparkSession.getActiveSession()
+    _replay_pending_swap(path, spark)
+    lin = L.Lineage(spark, path)
+    cfg = _cfg_from_meta(lin.read_meta(), path)
+    if doc_ids is None and fq is None:
+        raise ValueError("delete_docs needs doc_ids and/or fq")
+
+    doclen_all = spark.read.parquet(f"{path}/doclen")
+    parts = []
+    if fq is not None:
+        parts.append(_fq_keep(doclen_all, fq).select("doc_id"))
+    if doc_ids is not None:
+        if isinstance(doc_ids, DataFrame):
+            parts.append(
+                doclen_all.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
+                .select("doc_id")
+            )
+        else:
+            parts.append(
+                doclen_all.where(
+                    F.col("doc_id").isin([int(i) for i in doc_ids])
+                ).select("doc_id")
+            )
+    changed = parts[0]
+    for p_ in parts[1:]:
+        changed = changed.unionByName(p_)
+    changed = changed.distinct()
+    cond = doclen_all.join(changed, "doc_id", "left_semi")
+
+    rem = cond.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.min("doc_id").alias("lo"),
+    ).collect()[0]
+    n_removed, avgdl_removed = int(rem["n"]), float(rem["avgdl"] or 0.0)
+    if n_removed == 0:
+        return 0
+    stage = f"delete_{batch_id if batch_id is not None else rem['lo']}"
+    if lin.is_done(stage):
+        return n_removed
+    t0 = lin.start(stage)
+
+    segs = [
+        r["s"]
+        for r in changed.select(_seg_of(F.col("doc_id"), cfg).alias("s"))
+        .distinct()
+        .collect()
+    ]
+
+    post_seg = spark.read.parquet(f"{path}/postings").where(F.col("seg").isin(segs))
+    old_rows = _decoded(post_seg, cfg)
+    survivors = old_rows.join(changed, "doc_id", "left_anti")
+    killed = old_rows.join(changed, "doc_id", "left_semi")
+
+    # dfreq: exact decrement (the subtractive half of overwrite's merge)
+    dec = killed.groupBy("tid").agg(
+        F.count(F.lit(1)).alias("df_dec"), F.sum("tf").alias("cf_dec")
+    )
+    dfreq_old = spark.read.parquet(f"{path}/dfreq").withColumn(
+        "tid", F.xxhash64("term")
+    )
+    merged_df = (
+        dfreq_old.join(dec, "tid", "left")
+        .select(
+            "term",
+            "bucket",
+            (F.col("df") - F.coalesce(F.col("df_dec"), F.lit(0))).alias("df"),
+            (F.col("cf") - F.coalesce(F.col("cf_dec"), F.lit(0))).alias("cf"),
+        )
+        .where(F.col("df") > 0)
+    )
+    merged_df.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/dfreq.next"
+    )
+
+    pos_cols = ["positions"] if cfg.positions else []
+    blocks = _postings_blocks_tid(
+        survivors.select("tid", "doc_id", "tf", "dl", *pos_cols), cfg
+    )
+    blocks.write.mode("overwrite").partitionBy("bucket", "seg").parquet(
+        f"{path}/postings.next"
+    )
+    doclen_seg = doclen_all.where(F.col("seg").isin(segs))
+    doclen_seg.join(changed, "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).partitionBy("seg").parquet(f"{path}/doclen.next")
+
+    spark.createDataFrame(
+        [(-n_removed, avgdl_removed)], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(f"{path}/stats.next")
+
+    swap_fs = _fs_for(path, spark)
+    _write_swap_manifest(path, segs, cfg.n_buckets, swap_fs)
+    if _fault_after_stage:  # crash-injection point (tests/test_overwrite.py)
+        raise RuntimeError("injected crash: swap manifest written, swap not applied")
+    _apply_swap(path, swap_fs)
+    lin.finish(stage, t0, docs_removed=n_removed)
+    lin.bump_generation()
+    invalidate_searchers(path)
+    return n_removed
+
+
 def compact_index(
     path: str,
     spark: SparkSession | None = None,

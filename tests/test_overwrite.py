@@ -181,3 +181,84 @@ def test_mutators_reject_old_format(spark):
     with pytest.raises(ValueError, match="on-disk format v2"):
         overwrite_docs(_corpus(spark).where(F.col("doc_id") == 0), p)
     shutil.rmtree(base, ignore_errors=True)
+
+
+# ----------------------------------------------------- delete-by-query
+
+def test_delete_docs_matches_filtered_oracle(spark, docs, tmp_path):
+    """delete by ids + by fq; queries must answer exactly as a fresh
+    build over the remaining corpus (stale postings / dfreq / stats
+    would hash-mismatch)."""
+    import duckdb
+
+    from oni_indexer_spark.index import (
+        IndexConfig,
+        build_to_path,
+        delete_docs,
+        read_index,
+    )
+    from oni_indexer_spark.oracle import bm25_topk_sql
+    from oni_indexer_spark.query import topk
+    from tests.conftest import SF_SMOKE
+
+    p = str(tmp_path / "delidx")
+    build_to_path(docs, p, IndexConfig(block_size=64, n_buckets=8),
+                  bucket_group_size=8, resume=False)
+    assert delete_docs(p, spark, doc_ids=list(range(10))) == 10
+    n_fr = delete_docs(p, spark, fq={"lang": "fr"}, batch_id="fr")
+    assert n_fr > 0
+    # idempotent: nothing matches anymore, so the replay is a no-op
+    assert delete_docs(p, spark, fq={"lang": "fr"}, batch_id="fr") == 0
+
+    t = read_index(spark, p)
+    got = [(r["rank"], r["doc_id"], round(r["score"], 6))
+           for r in topk(t, "hash join", k=10).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet' "
+        f"WHERE doc_id >= 10 AND lang <> 'fr'"
+    )
+    exp = [(r[0], r[1], round(r[2], 6))
+           for r in con.execute(bm25_topk_sql("hash join", k=10)).fetchall()]
+    assert got == exp
+    # stats correction: n_docs equals the surviving corpus
+    from oni_indexer_spark.query.bm25 import searcher_for
+
+    n_docs, _ = searcher_for(t).stats()
+    assert n_docs == 500 - 10 - n_fr
+
+
+def test_delete_docs_crash_replay(spark, docs, tmp_path):
+    """Crash after the swap manifest: read_index replays the swap and
+    the deletion is complete (same guarantee as overwrite's)."""
+    import pytest as _pytest
+
+    from oni_indexer_spark.index import (
+        IndexConfig,
+        build_to_path,
+        delete_docs,
+        read_index,
+    )
+    from oni_indexer_spark.query import topk
+
+    p = str(tmp_path / "delcrash")
+    build_to_path(docs, p, IndexConfig(block_size=64, n_buckets=8),
+                  bucket_group_size=8, resume=False)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        delete_docs(p, spark, doc_ids=[1, 2, 3], _fault_after_stage=True)
+    t = read_index(spark, p)  # replays _pending_swap.json
+    hits = {r["doc_id"] for r in topk(t, "the", k=1000).collect()}
+    assert not hits & {1, 2, 3}
+
+
+def test_delete_docs_requires_predicate(spark, docs, tmp_path):
+    import pytest as _pytest
+
+    from oni_indexer_spark.index import IndexConfig, build_to_path, delete_docs
+
+    p = str(tmp_path / "delreq")
+    build_to_path(docs, p, IndexConfig(block_size=64, n_buckets=8),
+                  bucket_group_size=8, resume=False)
+    with _pytest.raises(ValueError):
+        delete_docs(p, spark)
+    assert delete_docs(p, spark, doc_ids=[999999]) == 0  # no-op on absent ids
