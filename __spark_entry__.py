@@ -263,6 +263,27 @@ def _q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spellcheck(_index(spark, sf_dir), "scann", count=5)
 
 
+def _q_query_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet-on-results: lang facet counts over the docs matching
+    'hash join' (the portal's facet panel rides the live query, not the
+    corpus) — match-set semi-join doclen, one partial-agg groupBy."""
+    from oni_indexer_spark.query.facets import query_facet_counts
+
+    return query_facet_counts(_index(spark, sf_dir), "hash join", "lang", limit=5)
+
+
+def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet API nested aggregation: per-lang bucket count +
+    min/max/sum/avg(dl) — all six aggregates on one shuffle."""
+    from oni_indexer_spark.query.facets import facet_stats
+
+    out = facet_stats(_index(spark, sf_dir).doclen, "lang", "dl")
+    return out.select("value", "count",
+                      F.col("min").cast("long").alias("min"),
+                      F.col("max").cast("long").alias("max"),
+                      "sum", F.round("mean", 6).alias("mean"))
+
+
 def _q_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _index(spark, sf_dir)
     return (
@@ -998,10 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_counts": _q_pii,
         # NEW r5: transitive closure of the LSH pairs (large-star/small-star)
         "dedup_cluster_cc": _q_dedup_cluster,
-        "sim_ann_indexed": _q_ann_indexed,
         # NEW r5: IVF coarse-quantizer ANN (data-adaptive Voronoi cells)
         "sim_ann_ivf": _q_ann_ivf,
-        "multimodal_features": _q_multimodal,
         "bm25_hot_single": _q_bm25("the", k=10),
         "bm25_and": _q_bm25("hash join", k=10, mode="and"),
         "bm25_fq_lang": _q_bm25("hash", k=10, fq={"lang": "en"}),
@@ -1064,6 +1083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family keeps minhash_sig, cluster_cc, span_remove, exact,
         # simhash-at-tail driver/pytest coverage)
         "delete_by_query_topk": _q_delete_topk,
+        # facet-on-results + nested facet stats (slots from
+        # sim_ann_indexed + multimodal_features — both green r3+r4;
+        # ANN family keeps sim_ann_ivf + sim_cosine_topk coverage)
+        "query_facet_lang": _q_query_facet,
+        "facet_stats_lang_dl": _q_facet_stats,
         "term_dfreq": _q_dfreq,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
@@ -1095,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_match_multi": _q_etl_match_multi,
         "etl_type_dispatch": _q_etl_type_dispatch,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "sim_ann_indexed": _q_ann_indexed,
+        "multimodal_features": _q_multimodal,
         "copyfield_main_search": _q_copyfield,
         "text_subword_count": _q_subword,
         # phrase x fq composition (r5 late fix: phrase mode previously
@@ -1182,6 +1208,10 @@ def oracle_sql() -> dict[str, str]:
             "hash join", "repo", k_groups=5, docs_per_group=3
         ),
         "suggest_me": oracle.suggest_sql("me", count=10),
+        "query_facet_lang": oracle.query_facet_counts_sql(
+            "hash join", "lang", limit=5
+        ),
+        "facet_stats_lang_dl": oracle.facet_stats_sql("lang", "dl"),
         "delete_by_query_topk": oracle.bm25_topk_sql(
             "hash join", k=10,
             table="(SELECT * FROM documents WHERE doc_id >= 10 AND lang <> 'fr')",

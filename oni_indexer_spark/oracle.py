@@ -992,3 +992,62 @@ WHERE substr(term, 1, 1) = '{_sq(t[:1])}'
   AND levenshtein(term, '{t}') <= {max_edits}
 ORDER BY df DESC, term ASC LIMIT {count}
 """.strip()
+
+
+def query_facet_counts_sql(
+    query: str,
+    field: str,
+    limit: int = 5,
+    mode: str = "or",
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+    fq_sub: str | None = None,
+) -> str:
+    """Oracle twin of ``facets.query_facet_counts``: facet counts over
+    the docs matching the query (Solr facet-on-results semantics)."""
+    terms = query_terms(query, analyzer)
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    having = f"HAVING count(DISTINCT term) = {len(set(terms))}" if mode == "and" else ""
+    fq_pred = f"AND m.doc_id IN ({fq_sub})" if fq_sub else ""
+    col = _doc_col(field)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM {table}),
+toksd AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES {_values(sorted(set(terms)))}),
+matched AS (
+  SELECT doc_id FROM toksd JOIN q USING (term)
+  GROUP BY doc_id {having}
+)
+SELECT doc.{col} AS value, count(*)::bigint AS count
+FROM matched m JOIN {table} doc ON m.doc_id = doc.doc_id
+WHERE doc.{col} IS NOT NULL {fq_pred}
+GROUP BY doc.{col}
+ORDER BY count DESC, value ASC LIMIT {limit}
+""".strip()
+
+
+def facet_stats_sql(
+    by: str,
+    stat_field: str,
+    limit: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of ``facets.facet_stats`` (JSON Facet nested aggs).
+    ``stat_field='dl'`` resolves to the analyzed token length."""
+    by_col = _doc_col(by)
+    if stat_field == "dl":
+        toks = duckdb_tokens_sql(text_col)
+        v = f"len({toks})::bigint"
+    else:
+        v = _doc_col(stat_field)
+    return f"""
+SELECT {by_col} AS value, count(*)::bigint AS count,
+       min({v}) AS min, max({v}) AS max,
+       sum({v})::bigint AS sum, avg({v})::double AS mean
+FROM {table}
+WHERE {by_col} IS NOT NULL
+GROUP BY {by_col}
+ORDER BY count DESC, value ASC LIMIT {limit}
+""".strip()

@@ -110,3 +110,66 @@ def field_stats(df: DataFrame, field: str) -> DataFrame:
         F.sum(v).alias("sum"),
         F.avg(v).alias("mean"),
     )
+
+
+def query_facet_counts(
+    tables,
+    query: str,
+    field: str,
+    limit: int = 5,
+    mode: str = "or",
+    fq: dict | None = None,
+) -> DataFrame:
+    """Facet counts over the CURRENT QUERY's result set — Solr's actual
+    facet semantics (the portal shows per-facet counts for the live
+    search, not the whole corpus: ``facet=true&facet.field=...`` rides
+    the ``q``/``fq``). Returns ``(value, count)`` top-N by (count desc,
+    value asc).
+
+    Scale shape: the match set (doc_id only — scores are irrelevant to
+    counts) semi-joins doclen for the facet column, then one
+    partial-aggregated groupBy over facet-value cardinality; the match
+    set never leaves the cluster."""
+    from oni_indexer_spark.query.bm25 import searcher_for
+    from oni_indexer_spark.query.paging import _full_scores
+
+    s = searcher_for(tables)
+    scored = _full_scores(s, query, mode, fq, 0)
+    spark = tables.doclen.sparkSession
+    if scored is None:
+        return spark.createDataFrame([], "value string, count long")
+    matched = tables.doclen.join(
+        scored.select("doc_id"), "doc_id", "left_semi"
+    )
+    return (
+        matched.select(F.col(field).alias("value"))
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(limit)
+    )
+
+
+def facet_stats(
+    df: DataFrame, by: str, stat_field: str, limit: int = 10
+) -> DataFrame:
+    """Solr JSON Facet API nested aggregation (``json.facet={categories:
+    {terms: {field: by, facet: {avg_x: "avg(x)", ...}}}}``): per facet
+    bucket, count + min/max/sum/avg of a numeric field — top-N buckets
+    by (count desc, value asc). One partial-aggregated groupBy; all six
+    aggregates ride the same shuffle."""
+    v = F.col(stat_field)
+    return (
+        df.where(F.col(by).isNotNull())
+        .groupBy(F.col(by).alias("value"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("count"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.sum(v).cast("long").alias("sum"),
+            F.avg(v).alias("mean"),
+        )
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(limit)
+    )

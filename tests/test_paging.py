@@ -241,3 +241,43 @@ def test_group_topk_null_group(ptab, spark, docs):
                "hash join", "repo", k_groups=20, docs_per_group=2)).fetchall()]
     assert got == exp
     assert any(g[1] is None for g in got), "null group should appear"
+
+
+# ------------------------------------- facet-on-results / nested stats
+
+def test_query_facet_counts_matches_oracle(ptab):
+    from oni_indexer_spark.oracle import query_facet_counts_sql
+    from oni_indexer_spark.query.facets import query_facet_counts
+
+    for q, f, mode in [("hash join", "lang", "or"), ("hash join", "repo", "and"),
+                       ("zzq_missing", "lang", "or")]:
+        got = [(r["value"], r["count"])
+               for r in query_facet_counts(ptab, q, f, limit=5, mode=mode).collect()]
+        exp = [tuple(r) for r in _oracle_rows_raw(
+            query_facet_counts_sql(q, f, limit=5, mode=mode))]
+        assert got == exp, (q, f, mode)
+
+
+def test_query_facet_counts_with_fq(ptab):
+    from oni_indexer_spark.oracle import query_facet_counts_sql
+    from oni_indexer_spark.query.facets import query_facet_counts
+
+    got = [(r["value"], r["count"])
+           for r in query_facet_counts(ptab, "hash join", "repo", limit=5,
+                                       fq={"lang": "en"}).collect()]
+    exp = [tuple(r) for r in _oracle_rows_raw(query_facet_counts_sql(
+        "hash join", "repo", limit=5,
+        fq_sub="SELECT doc_id FROM documents WHERE lang = 'en'"))]
+    assert got == exp
+
+
+def test_facet_stats_matches_oracle(ptab):
+    from oni_indexer_spark.oracle import facet_stats_sql
+    from oni_indexer_spark.query.facets import facet_stats
+
+    got = [tuple(r) for r in facet_stats(ptab.doclen, "lang", "dl").collect()]
+    exp = [tuple(r) for r in _oracle_rows_raw(facet_stats_sql("lang", "dl"))]
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g[:5] == e[:5]
+        assert abs(g[5] - e[5]) < 1e-9
