@@ -156,3 +156,52 @@ def test_single_term_fastpath_matches_slow_path(spark, disk_index):
         fast_r = [(r[0], r[1], round(r[2], 6)) for r in fast]
         slow_r = [(r[0], r[1], round(r[2], 6)) for r in slow]
         assert fast_r == slow_r, t
+
+
+def test_constant_score_prefix_bounded_decode(disk_index):
+    """The constant-score rewrite must bound the decode to the k lowest
+    matching block_ids (broadcast semi-join on blocks) instead of
+    decoding the full union — the 8.6s-at-1M lesson. Shape: a broadcast
+    LeftSemi on block_id feeding the decode, no unbounded HashAggregate
+    before it."""
+    from oni_indexer_spark.query.bm25 import searcher_for
+
+    s = searcher_for(disk_index)
+    plan = _plan(s.prefix_topk("s", k=10, rewrite="constant"))
+    assert "BroadcastHashJoin [block_id" in plan and "LeftSemi" in plan
+    # both top-ks are docid-ordered TakeOrdereds (k blocks, then k docs) —
+    # no scored heap, no score column before the final constant Project
+    assert "orderBy=[doc_id" in plan and "orderBy=[block_id" in plan
+
+
+def test_cursor_page_keyset_before_takeordered(disk_index):
+    """Cursor paging must FILTER on the keyset predicate before the
+    TakeOrdered — deep page N costs page 1. The filter shows up as the
+    round(score)/dl comparison under the top-k, never an offset-sized
+    window."""
+    from oni_indexer_spark.query import page
+
+    df = page(disk_index, "hash join", rows=10, sort=[("dl", "desc")],
+              cursor=(50, 1000))
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the keyset predicate on the sort keys is a plain Filter
+    assert "Filter" in plan and "dl" in plan
+    # no global Sort materializing the full match set
+    assert plan.count("Sort [") <= 2  # window-local sorts only
+
+
+def test_group_topk_single_group_shuffle(disk_index):
+    """The heads branch (group cap) and the members branch both consume
+    the same gk shuffle — AQE must REUSE that exchange in the final
+    adaptive plan (one scan + one match-set shuffle, not two), and the
+    group cap must come back as a broadcast, never an all-rows join."""
+    from oni_indexer_spark.query import group_topk
+
+    df = group_topk(disk_index, "hash join", "repo",
+                    k_groups=5, docs_per_group=3)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan  # heads reuse the members' gk shuffle
+    assert "BroadcastHashJoin [gk" in plan
