@@ -189,3 +189,59 @@ def test_boost_parse():
         ("term", 2.0, 0), ("phrase", 3.5, 1), ("prefix", 4.0, 0),
         ("fuzzy", 0.5, 2),
     ]
+
+
+# ------------------------------------------------- randomized property
+
+def test_boolean_randomized_vs_oracle(btables):
+    """Randomized flat queries over the corpus vocabulary (seeded RNG, no
+    Hypothesis shrinking needed — failures print the query): every
+    generated query must match the DuckDB oracle rank-for-rank. Covers
+    clause-kind x occur x boost x slop x filter interactions the
+    hand-written battery can't enumerate."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["hash", "join", "merge", "scan", "sort", "window", "the",
+             "spark", "index", "snake_case_1"]
+
+    def gen_clause():
+        kind = rng.choice(["term", "term", "term", "phrase", "prefix", "fuzzy"])
+        sign = rng.choice(["", "", "", "+", "-"])
+        boost = rng.choice(["", "", "^2", "^0.5"])
+        if kind == "phrase":
+            w = " ".join(rng.sample(vocab, rng.choice([2, 2, 3])))
+            slop = rng.choice(["", "", "~1", "~2"])
+            return f'{sign}"{w}"{slop}{boost}'
+        w = rng.choice(vocab)
+        if kind == "prefix":
+            return f"{sign}{w[:2]}*{boost}"
+        if kind == "fuzzy":
+            return f"{sign}{w}~1{boost}"
+        return f"{sign}{w}{boost}"
+
+    def gen_query():
+        n = rng.choice([1, 2, 2, 3, 3, 4])
+        parts = [gen_clause() for _ in range(n)]
+        if rng.random() < 0.3:
+            parts.append(rng.choice(["lang:en", "-lang:fr", "dl:[20 TO 300]"]))
+        return " ".join(parts)
+
+    checked = 0
+    for _ in range(40):
+        q = gen_query()
+        try:
+            pq = parse_query(q)
+        except ValueError:
+            continue  # e.g. all clauses negative — parser rejects, fine
+        # slop on >2-term phrases has no SQL oracle; skip those draws
+        if any(c.kind == "phrase" and c.slop and len(c.text.split()) != 2
+               for c in pq.clauses):
+            continue
+        got = _rows(search(btables, q, k=10))
+        exp = _oracle_rows(boolean_query_sql(q, k=10))
+        assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp], q
+        for g, e in zip(got, exp):
+            assert abs(g[2] - e[2]) < 1e-6, q
+        checked += 1
+    assert checked >= 25, f"only {checked} queries actually checked"
