@@ -19,7 +19,11 @@ candidates on every shard. Both are mirrored here with the same split:
 Sort keys are ``"score"`` or doclen metadata columns (``dl``, ``repo``,
 ``path``, ``lang``); ``(doc_id, asc)`` is always appended as the unique
 tiebreak (Solr requires the uniqueKey in cursor sorts for the same
-reason). Score comparisons use ``round(score, 6)`` — the same rounding
+reason). Documents MISSING a sort value order LAST in both directions
+(Solr ``sortMissingLast`` — also DuckDB's default null order, keeping
+the oracle exact; Spark's default would put nulls first on asc).
+Keyset cursors skip null-keyed rows (SQL comparison semantics — the
+same caveat Solr's cursorMark has on sortMissingLast fields). Score comparisons use ``round(score, 6)`` — the same rounding
 grid as ``_ranked`` — so engine and DuckDB oracle order identically
 under float-sum non-associativity.
 """
@@ -123,7 +127,9 @@ def page(
     if cursor is not None:
         scored = scored.where(_cursor_pred(spec, cursor))
     order = [
-        _key_col(f).desc() if d == "desc" else _key_col(f).asc() for f, d in spec
+        _key_col(f).desc_nulls_last() if d == "desc"
+        else _key_col(f).asc_nulls_last()
+        for f, d in spec
     ]
     limit = rows if cursor is not None else start + rows
     top = scored.orderBy(*order).limit(limit)

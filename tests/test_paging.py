@@ -281,3 +281,36 @@ def test_facet_stats_matches_oracle(ptab):
     for g, e in zip(got, exp):
         assert g[:5] == e[:5]
         assert abs(g[5] - e[5]) < 1e-9
+
+
+def test_page_null_sort_keys_order_last(spark, docs):
+    """Docs missing the sort value order LAST in both directions
+    (sortMissingLast == DuckDB's default null order; Spark's default
+    asc-nulls-first would silently diverge from the oracle)."""
+    from pyspark.sql import functions as F
+
+    from oni_indexer_spark.index import IndexConfig, build_index
+
+    nulled = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang"))
+    )
+    t = build_index(nulled, IndexConfig(block_size=64, n_buckets=8))
+    got = _rows(page(t, "hash join", rows=2000, sort=[("lang", "asc")]))
+    lang_of = {r["doc_id"]: r["lang"]
+               for r in t.doclen.select("doc_id", "lang").collect()}
+    langs = [lang_of[d] for _, d, _ in got]
+    nn = [x for x in langs if x is not None]
+    assert nn == sorted(nn)
+    assert langs[len(nn):] == [None] * (len(langs) - len(nn))
+    # and the oracle agrees on the full ordering
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT doc_id, text, CASE WHEN doc_id % 7 = 0 "
+        f"THEN NULL ELSE lang END AS lang, source, n_chars "
+        f"FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    exp = [(r[0], r[1], round(r[2], 6)) for r in con.execute(
+        page_sql("hash join", rows=2000, sort=[("lang", "asc")])).fetchall()]
+    assert got == exp
