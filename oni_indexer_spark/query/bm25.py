@@ -915,15 +915,27 @@ class Searcher:
         Gated off when the rare term hits most blocks anyway (no blocks
         to skip — the uniform-corpus / all-stop-words case) or when the
         broadcast would exceed RARE_BLOCK_MAX_DF ids."""
+        if len(dfs) < 2:
+            return p
+        rare_blocks = self._rare_blocks(dfs, n_docs)
+        if rare_blocks is None:
+            return p
+        return p.join(F.broadcast(rare_blocks), "block_id", "left_semi")
+
+    def _rare_blocks(self, dfs: dict[str, int], n_docs: int):
+        """Block list (block_id DataFrame) of the rarest term in ``dfs``
+        when it is selective enough to prune with, else None — the
+        shared engine behind the conjunctive prefilter and the boolean
+        compositor's cross-clause MUST-block pushdown."""
         from oni_indexer_spark.hashing import xxhash64_str
 
         tables = self.tables
         min_term = min(dfs, key=lambda t: dfs[t])
         min_df = dfs[min_term]
         n_blocks_est = max(1, n_docs // tables.cfg.block_size)
-        if len(dfs) < 2 or min_df >= n_blocks_est // 2 or min_df > self.RARE_BLOCK_MAX_DF:
-            return p
-        rare_blocks = (
+        if min_df >= n_blocks_est // 2 or min_df > self.RARE_BLOCK_MAX_DF:
+            return None
+        return (
             tables.postings.where(
                 F.col("bucket").isin(_buckets_for(tables, [min_term]))
                 & (F.col("tid") == xxhash64_str(min_term))
@@ -931,7 +943,6 @@ class Searcher:
             .select("block_id")
             .distinct()
         )
-        return p.join(F.broadcast(rare_blocks), "block_id", "left_semi")
 
     def topk(
         self,
@@ -1031,6 +1042,7 @@ class Searcher:
         weights: dict[str, float] | None = None,
         fq: dict | None = None,
         allowed_bc=None,
+        block_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Unranked exact (doc_id, score) for one term-set clause of a
         boolean query — the k=None twin of ``_topk_from_dfs`` (no τ
@@ -1055,6 +1067,13 @@ class Searcher:
         )
         if mode == "and":
             p = self._rare_block_prefilter(p, dfs, n_docs)
+        if block_filter is not None:
+            # cross-clause MUST-block pushdown: every result doc contains
+            # every MUST term, so every clause's useful output lives in
+            # the rarest MUST term's blocks — lossless for this clause
+            # because its scores only survive the downstream join/filter
+            # against the MUST set anyway
+            p = p.join(F.broadcast(block_filter), "block_id", "left_semi")
         return _scores(
             p, tables, idf, avgdl, mode, fq, k=None,
             est_postings=sum(dfs.values()), allowed_bc=allowed_bc,
@@ -1216,6 +1235,23 @@ class Searcher:
         # in-worker (broadcast); otherwise apply ONE semi-join at the end
         clause_fq = fq if allowed_bc is not None else None
 
+        # cross-clause MUST-block pushdown: every result doc contains
+        # every MUST term and every token of every MUST phrase, so the
+        # rarest such token's block list (blocks are global doc-ranges)
+        # losslessly bounds EVERY pass — most valuable for the SHOULD
+        # pass, whose hot terms would otherwise emit corpus-sized totals
+        # that the MUST join then throws away.
+        required: dict[str, int] = {}
+        req_toks = list(terms["must"])
+        for occ, toks, _slop, _boost in phrases:
+            if occ == "must":
+                req_toks.extend(toks)
+        if req_toks:
+            required = self.term_dfs(list(set(req_toks)))
+        must_blocks = (
+            self._rare_blocks(required, self.stats()[0]) if required else None
+        )
+
         must_parts: list[DataFrame] = []
         if terms["must"]:
             w = terms["must"]
@@ -1223,12 +1259,14 @@ class Searcher:
             if len(dfs) < len(w):
                 return _empty_result(tables)
             must_parts.append(self._clause_scores(
-                dfs, mode="and", weights=w, fq=clause_fq, allowed_bc=allowed_bc))
+                dfs, mode="and", weights=w, fq=clause_fq, allowed_bc=allowed_bc,
+                block_filter=must_blocks))
         for occ, toks, slop, boost in phrases:
             if occ != "must":
                 continue
             s = self._phrase_scores(toks, None, fq=clause_fq,
-                                    allowed_bc=allowed_bc, slop=slop, boost=boost)
+                                    allowed_bc=allowed_bc, slop=slop, boost=boost,
+                                    block_filter=must_blocks)
             if s is None:
                 return _empty_result(tables)
             must_parts.append(s)
@@ -1241,7 +1279,7 @@ class Searcher:
                 return _empty_result(tables)
             must_parts.append(self._clause_scores(
                 dfs, mode="or", weights={t: w * boost for t, w in ws.items()},
-                fq=clause_fq, allowed_bc=allowed_bc))
+                fq=clause_fq, allowed_bc=allowed_bc, block_filter=must_blocks))
 
         should_parts: list[DataFrame] = []
         sh_w = dict(terms["should"])
@@ -1257,12 +1295,14 @@ class Searcher:
             if dfs:
                 should_parts.append(self._clause_scores(
                     dfs, mode="or", weights={t: sh_w[t] for t in dfs},
-                    fq=clause_fq, allowed_bc=allowed_bc))
+                    fq=clause_fq, allowed_bc=allowed_bc,
+                    block_filter=must_blocks))
         for occ, toks, slop, boost in phrases:
             if occ != "should":
                 continue
             s = self._phrase_scores(toks, None, fq=clause_fq,
-                                    allowed_bc=allowed_bc, slop=slop, boost=boost)
+                                    allowed_bc=allowed_bc, slop=slop, boost=boost,
+                                    block_filter=must_blocks)
             if s is not None:
                 should_parts.append(s)
 
@@ -1270,8 +1310,8 @@ class Searcher:
         if terms["not"]:
             dfs = self.term_dfs(list(terms["not"]))
             if dfs:
-                not_sets.append(self._clause_scores(dfs, mode="or")
-                                .select("doc_id"))
+                not_sets.append(self._clause_scores(
+                    dfs, mode="or", block_filter=must_blocks).select("doc_id"))
         for occ, toks, slop, _boost in phrases:
             if occ != "not":
                 continue
@@ -1593,6 +1633,7 @@ class Searcher:
         allowed_bc=None,
         slop: int = 0,
         boost: float = 1.0,
+        block_filter: DataFrame | None = None,
     ):
         """Unranked exact phrase scores (doc_id, score) for an ANALYZED
         token sequence (len ≥ 2), or ``None`` when a query term is
@@ -1625,6 +1666,8 @@ class Searcher:
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
         )
         p = self._rare_block_prefilter(p, dfs, n_docs)
+        if block_filter is not None:
+            p = p.join(F.broadcast(block_filter), "block_id", "left_semi")
         spark = p.sparkSession
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         co = (

@@ -245,3 +245,45 @@ def test_boolean_randomized_vs_oracle(btables):
             assert abs(g[2] - e[2]) < 1e-6, q
         checked += 1
     assert checked >= 25, f"only {checked} queries actually checked"
+
+
+def test_must_block_pushdown_fires_and_stays_exact(spark, docs):
+    """Force the cross-clause MUST-block pushdown (a MUST term in 2 of
+    500 docs → rarest-block gate fires) and pin (a) exactness vs the
+    oracle over the same modified corpus, (b) that the SHOULD pass's
+    postings scan is actually semi-joined by the rare blocks (plan)."""
+    import duckdb as _dd
+
+    from pyspark.sql import functions as F
+
+    from oni_indexer_spark.index import IndexConfig, build_index
+    from oni_indexer_spark.query.bm25 import searcher_for
+
+    marked = docs.withColumn(
+        "content",
+        F.when(F.col("doc_id").isin(3, 450),
+               F.concat(F.col("content"), F.lit(" zzrare")))
+        .otherwise(F.col("content")),
+    )
+    t = build_index(marked, IndexConfig(block_size=64, n_buckets=8))
+    s = searcher_for(t)
+    assert s._rare_blocks(s.term_dfs(["zzrare", "merge"]), s.stats()[0]) is not None
+
+    df = s.search("+zzrare merge the", k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ≥3 rare-block semi-joins: the MUST pass, the SHOULD pass, plus the
+    # broadcast build sides (block_id join keys appear per pass)
+    assert plan.count("BroadcastHashJoin [block_id") >= 2
+
+    got = _rows(df)
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT doc_id, "
+        f"text || CASE WHEN doc_id IN (3, 450) THEN ' zzrare' ELSE '' END AS text, "
+        f"lang, source, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    exp = [(r[0], r[1], round(r[2], 6))
+           for r in con.execute(boolean_query_sql("+zzrare merge the", k=10)).fetchall()]
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[2] - e[2]) < 1e-6
