@@ -318,6 +318,29 @@ def _q_facet_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.pivot=lang,repo: hierarchical drill-down counts (the
+    portal's two-level facet tree) — top-4 langs, top-3 repos within
+    each, counted within the parent's docs."""
+    from oni_indexer_spark.query.facets import facet_pivot
+
+    return facet_pivot(_docs(spark, sf_dir), "lang", "repo", limit=4, sublimit=3)
+
+
+def _q_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.query: named arbitrary-query buckets counted over the
+    main query's result set ('the') — each bucket is one broadcast
+    semi-join + 1-row count."""
+    from oni_indexer_spark.query.facets import facet_query
+
+    return facet_query(
+        _index(spark, sf_dir), "the", _FACET_QUERIES, mode="or", sub_mode="and"
+    )
+
+
+_FACET_QUERIES = {"hash_and_join": "hash join", "merge_and_scan": "merge scan"}
+
+
 def _q_facet_multi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C8 facetmulti COUNT form (query/facets.py facet_counts(multi=True)):
     # array-valued facet column exploded then counted — Solr *_facetmulti
@@ -1088,10 +1111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN family keeps sim_ann_ivf + sim_cosine_topk coverage)
         "query_facet_lang": _q_query_facet,
         "facet_stats_lang_dl": _q_facet_stats,
-        "term_dfreq": _q_dfreq,
+        # NEW r5 (late): pivot facets + facet.query buckets — take the
+        # facet_lang / term_dfreq window slots (both green r1-r4; C8
+        # corpus-count form stays in-window via facet_repo +
+        # facet_content_multi, C3 via doclen_sha256)
+        "facet_pivot_lang_repo": _q_facet_pivot,
+        "facet_query_named": _q_facet_query,
         "doclen_sha256": _q_doclen,
         "facet_content_multi": _q_facet_multi_counts,
-        "facet_lang": _q_facet_lang,
         "facet_repo": _q_facet_repo,
         # NEW r5 (late): cross-doc duplicated-substring removal
         # (Lee et al. 2022 exact-substring dedup, suffix-array-free);
@@ -1145,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window slots to the new query-surface rows (prefix / fuzzy /
         # fq_not / fq_range / snippets)
         "sim_ann_lsh": _q_ann_lsh,
+        "facet_lang": _q_facet_lang,
+        "term_dfreq": _q_dfreq,
         "sim_cosine_pairs": _q_cosine_pairs,
         "dedup_simhash": _q_simhash,
         "etl_filter_type_regex": _q_etl_filter,
@@ -1212,6 +1241,12 @@ def oracle_sql() -> dict[str, str]:
             "hash join", "lang", limit=5
         ),
         "facet_stats_lang_dl": oracle.facet_stats_sql("lang", "dl"),
+        "facet_pivot_lang_repo": oracle.facet_pivot_sql(
+            "lang", "repo", limit=4, sublimit=3
+        ),
+        "facet_query_named": oracle.facet_query_sql(
+            "the", _FACET_QUERIES, mode="or", sub_mode="and"
+        ),
         "delete_by_query_topk": oracle.bm25_topk_sql(
             "hash join", k=10,
             table="(SELECT * FROM documents WHERE doc_id >= 10 AND lang <> 'fr')",

@@ -1051,3 +1051,84 @@ WHERE {by_col} IS NOT NULL
 GROUP BY {by_col}
 ORDER BY count DESC, value ASC LIMIT {limit}
 """.strip()
+
+
+def facet_pivot_sql(
+    parent: str,
+    child: str,
+    limit: int = 5,
+    sublimit: int = 3,
+    table: str = "documents",
+) -> str:
+    """Oracle twin of ``facets.facet_pivot`` (Solr facet.pivot)."""
+    pcol, ccol = _doc_col(parent), _doc_col(child)
+    return f"""
+WITH pc AS (
+  SELECT {pcol} AS parent, count(*)::bigint AS parent_count
+  FROM {table} WHERE {pcol} IS NOT NULL
+  GROUP BY 1 ORDER BY parent_count DESC, parent ASC LIMIT {limit}
+),
+cc AS (
+  SELECT d.{pcol} AS parent, d.{ccol} AS child, count(*)::bigint AS child_count
+  FROM {table} d JOIN pc ON d.{pcol} = pc.parent
+  WHERE d.{ccol} IS NOT NULL
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT parent, child, child_count,
+         row_number() OVER (
+           PARTITION BY parent ORDER BY child_count DESC, child ASC
+         ) AS rk
+  FROM cc
+)
+SELECT rk.parent, pc.parent_count, rk.child, rk.child_count
+FROM rk JOIN pc USING (parent)
+WHERE rk.rk <= {sublimit}
+ORDER BY parent_count DESC, parent ASC, child_count DESC, child ASC
+""".strip()
+
+
+def facet_query_sql(
+    query: str,
+    named: dict[str, str],
+    mode: str = "or",
+    sub_mode: str = "or",
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Oracle twin of ``facets.facet_query`` (Solr facet.query): per
+    named sub-query, count of docs matching both the main query and the
+    sub-query."""
+    toks = analyzer_tokens_sql(text_col, analyzer)
+
+    def match_cte(name: str, q: str, m: str) -> str:
+        terms = sorted(set(query_terms(q, analyzer)))
+        having = (
+            f"HAVING count(DISTINCT term) = {len(terms)}" if m == "and" else ""
+        )
+        in_list = ", ".join(f"'{_sq(t)}'" for t in terms)
+        return (
+            f"{name} AS (SELECT doc_id FROM toksd "
+            f"WHERE term IN ({in_list}) "
+            f"GROUP BY doc_id {having})"
+        )
+
+    ctes = [
+        f"base AS (SELECT doc_id, {toks} AS toks FROM {table})",
+        "toksd AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base)",
+        match_cte("main_m", query, mode),
+    ]
+    selects = []
+    for i, name in enumerate(sorted(named)):
+        ctes.append(match_cte(f"sub_{i}", named[name], sub_mode))
+        selects.append(
+            f"SELECT '{_sq(name)}' AS name, "
+            f"(SELECT count(*) FROM main_m "
+            f"WHERE doc_id IN (SELECT doc_id FROM sub_{i}))::bigint AS count"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT name, count FROM ({body})\n"
+        "ORDER BY name ASC"
+    ).strip()

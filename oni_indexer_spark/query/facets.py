@@ -173,3 +173,108 @@ def facet_stats(
         .orderBy(F.desc("count"), F.asc("value"))
         .limit(limit)
     )
+
+
+def facet_pivot(
+    df: DataFrame,
+    parent: str,
+    child: str,
+    limit: int = 5,
+    sublimit: int = 3,
+) -> DataFrame:
+    """Solr ``facet.pivot=parent,child``: hierarchical value counts —
+    top-``limit`` parent values by doc count, and per parent the
+    top-``sublimit`` child values counted WITHIN that parent's docs
+    (the portal's two-level drill-down; the reference exposes exactly
+    this shape through its facet field config,
+    ``lib/ROCrateIndexer.js:111-114`` + portal ``facetDefaults``,
+    ``config.json:30-32``). Flat relational form of Solr's nested JSON:
+    ``(parent, parent_count, child, child_count)``.
+
+    Scale shape: one partial-aggregated groupBy per level; the parent
+    top-N (≤ ``limit`` rows) broadcasts into a semi-join that bounds the
+    second groupBy to the surviving parents, and the per-parent rank
+    window runs over already-aggregated counts (rows = surviving parent
+    x child cardinality, not docs). No doc-sized shuffle survives the
+    first aggregation."""
+    from pyspark.sql import Window as W
+
+    base = df.select(F.col(parent).alias("parent"), F.col(child).alias("child"))
+    pc = (
+        base.where(F.col("parent").isNotNull())
+        .groupBy("parent")
+        .agg(F.count(F.lit(1)).cast("long").alias("parent_count"))
+        .orderBy(F.desc("parent_count"), F.asc("parent"))
+        .limit(limit)
+    )
+    cc = (
+        base.where(F.col("parent").isNotNull() & F.col("child").isNotNull())
+        .join(F.broadcast(pc.select("parent")), "parent", "left_semi")
+        .groupBy("parent", "child")
+        .agg(F.count(F.lit(1)).cast("long").alias("child_count"))
+    )
+    w = W.partitionBy("parent").orderBy(F.desc("child_count"), F.asc("child"))
+    top_children = (
+        cc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= sublimit)
+        .drop("rk")
+    )
+    return (
+        top_children.join(F.broadcast(pc), "parent")
+        .select("parent", "parent_count", "child", "child_count")
+        .orderBy(
+            F.desc("parent_count"), F.asc("parent"),
+            F.desc("child_count"), F.asc("child"),
+        )
+    )
+
+
+def facet_query(
+    tables,
+    query: str,
+    named: dict[str, str],
+    mode: str = "or",
+    sub_mode: str = "or",
+) -> DataFrame:
+    """Solr ``facet.query``: named sub-query counts over the CURRENT
+    query's result set (``facet.query=lang:en``-style arbitrary-query
+    buckets riding ``q``, ``oni-indexer.js`` portal facet block). For
+    each ``name -> term query`` in ``named``, counts how many docs match
+    BOTH the main query and the sub-query. Returns ``(name, count)``
+    ordered by name.
+
+    Scale shape: the main match set is computed once (doc_id only) and
+    each named bucket is ONE left-semi join + 1-row count aggregate —
+    a driver loop over the handful of configured facet queries, never
+    over data. Nothing doc-sized leaves the cluster."""
+    from oni_indexer_spark.query.bm25 import searcher_for
+    from oni_indexer_spark.query.paging import _full_scores
+
+    s = searcher_for(tables)
+    spark = tables.doclen.sparkSession
+    base = _full_scores(s, query, mode, None, 0)
+    parts = []
+    for name in sorted(named):
+        if base is None:
+            cnt = spark.range(1).select(
+                F.lit(name).alias("name"), F.lit(0).cast("long").alias("count")
+            )
+        else:
+            sub = _full_scores(s, named[name], sub_mode, None, 0)
+            if sub is None:
+                cnt = spark.range(1).select(
+                    F.lit(name).alias("name"),
+                    F.lit(0).cast("long").alias("count"),
+                )
+            else:
+                cnt = (
+                    base.select("doc_id")
+                    .join(sub.select("doc_id"), "doc_id", "left_semi")
+                    .agg(F.count(F.lit(1)).cast("long").alias("count"))
+                    .select(F.lit(name).alias("name"), "count")
+                )
+        parts.append(cnt)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.asc("name"))

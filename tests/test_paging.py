@@ -314,3 +314,49 @@ def test_page_null_sort_keys_order_last(spark, docs):
     exp = [(r[0], r[1], round(r[2], 6)) for r in con.execute(
         page_sql("hash join", rows=2000, sort=[("lang", "asc")])).fetchall()]
     assert got == exp
+
+
+# ------------------------------------------- pivot facets + facet.query
+
+def test_facet_pivot_matches_oracle(docs):
+    from oni_indexer_spark.oracle import facet_pivot_sql
+    from oni_indexer_spark.query.facets import facet_pivot
+
+    got = [tuple(r) for r in facet_pivot(docs, "lang", "repo",
+                                         limit=4, sublimit=3).collect()]
+    exp = _oracle_rows_raw(facet_pivot_sql("lang", "repo", limit=4, sublimit=3))
+    assert got == exp
+    # hierarchical invariants: per-parent child rows <= sublimit, child
+    # counts never exceed their parent count, parents ordered by count
+    by_parent = {}
+    for p, pc, c, cc in got:
+        by_parent.setdefault((p, pc), []).append(cc)
+        assert cc <= pc
+    assert all(len(v) <= 3 for v in by_parent.values())
+    pcs = [pc for (_, pc) in by_parent]
+    assert pcs == sorted(pcs, reverse=True)
+
+
+def test_facet_query_matches_oracle(ptab):
+    from oni_indexer_spark.oracle import facet_query_sql
+    from oni_indexer_spark.query.facets import facet_query
+
+    named = {"hash_and_join": "hash join", "merge_or_scan": "merge scan"}
+    got = [tuple(r) for r in facet_query(ptab, "the", named,
+                                         mode="or", sub_mode="and").collect()]
+    exp = _oracle_rows_raw(
+        facet_query_sql("the", named, mode="or", sub_mode="and"))
+    assert got == exp
+    assert len(got) == 2 and all(c > 0 for _, c in got)
+
+
+def test_facet_query_zero_and_unmatched_buckets(ptab):
+    from oni_indexer_spark.oracle import facet_query_sql
+    from oni_indexer_spark.query.facets import facet_query
+
+    named = {"none": "qqqzzznotaterm", "all": "the"}
+    got = [tuple(r) for r in facet_query(ptab, "the", named).collect()]
+    exp = _oracle_rows_raw(facet_query_sql("the", named))
+    assert got == exp
+    d = dict(got)
+    assert d["none"] == 0 and d["all"] > 0
