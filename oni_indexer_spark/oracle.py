@@ -1104,6 +1104,8 @@ def facet_query_sql(
 
     def match_cte(name: str, q: str, m: str) -> str:
         terms = sorted(set(query_terms(q, analyzer)))
+        if not terms:  # stopword-only / empty query: matches nothing
+            return f"{name} AS (SELECT doc_id FROM toksd WHERE FALSE)"
         having = (
             f"HAVING count(DISTINCT term) = {len(terms)}" if m == "and" else ""
         )

@@ -354,9 +354,9 @@ def test_facet_query_zero_and_unmatched_buckets(ptab):
     from oni_indexer_spark.oracle import facet_query_sql
     from oni_indexer_spark.query.facets import facet_query
 
-    named = {"none": "qqqzzznotaterm", "all": "the"}
+    named = {"none": "qqqzzznotaterm", "all": "the", "empty": ""}
     got = [tuple(r) for r in facet_query(ptab, "the", named).collect()]
     exp = _oracle_rows_raw(facet_query_sql("the", named))
     assert got == exp
     d = dict(got)
-    assert d["none"] == 0 and d["all"] > 0
+    assert d["none"] == 0 and d["empty"] == 0 and d["all"] > 0
