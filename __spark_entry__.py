@@ -510,6 +510,24 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ops_dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+def _q_boost_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr edismax bf boost function: BM25 + 0.5*ln(1+dl), ranked by
+    the boosted score (full match set; boost is a codegen'd column)."""
+    from oni_indexer_spark.query.rescore import boost_topk
+
+    return boost_topk(_index(spark, sf_dir), "hash join", "dl",
+                      k=10, weight=0.5, fn="log1p")
+
+
+def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ReRankQParser: top-50 window of 'the' rescored as
+    base + 2*score('hash join'); only the window is rescored."""
+    from oni_indexer_spark.query.rescore import rerank_topk
+
+    return rerank_topk(_index(spark, sf_dir), "the", "hash join",
+                       k=10, rerank_docs=50, weight=2.0)
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-document duplicated-substring removal (Lee et al. 2022
     # semantics, distributed as duplicated-n-gram coverage union)
@@ -1084,6 +1102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — green r3+r4; MinHash-LSH + exact + simhash dedup siblings
         # keep the dedup family driver-covered)
         "bm25_boolean": _q_boolean,
+        # NEW r5 (late): Solr bf boost function + ReRankQParser (slots
+        # from etl_map_all + etl_via_includes — both green r4; B6/B12
+        # composite coverage stays via etl_config_pipeline +
+        # etl_resolve_fixpoint in-window)
+        "bm25_boost_dl": _q_boost_dl,
+        "bm25_rerank": _q_rerank,
         # Solr paging surface (slots from schema_dynamic_fields +
         # etl_reverse_via — both green r3+r4; dynamic-field coverage
         # stays via etl_facet_multi/copyfield, reverse-hop via
@@ -1131,8 +1155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "sample_mixture": _q_sample_mixture,
         "pack_sequences": _q_pack_sequences,
-        "etl_via_includes": _q_etl_via_includes,
-        "etl_map_all": _q_etl_map_all,
         "etl_config_pipeline": _q_etl_config_pipeline,
         "etl_resolve_fixpoint": _q_etl_fixpoint,
         "dedup_minhash_sig": _q_minhash,
@@ -1172,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window slots to the new query-surface rows (prefix / fuzzy /
         # fq_not / fq_range / snippets)
         "sim_ann_lsh": _q_ann_lsh,
+        "etl_via_includes": _q_etl_via_includes,
+        "etl_map_all": _q_etl_map_all,
         "facet_lang": _q_facet_lang,
         "term_dfreq": _q_dfreq,
         "sim_cosine_pairs": _q_cosine_pairs,
@@ -1226,6 +1250,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_mlt": oracle.mlt_topk_sql(42, k=10),
         "bm25_phrase_slop": oracle.bm25_phrase_topk_sql("hash join", k=10, slop=2),
         "bm25_boolean": oracle.boolean_query_sql(_BOOLEAN_Q, k=10),
+        "bm25_boost_dl": oracle.boost_topk_sql(
+            "hash join", "dl", k=10, weight=0.5, fn="log1p"
+        ),
+        "bm25_rerank": oracle.rerank_topk_sql(
+            "the", "hash join", k=10, rerank_docs=50, weight=2.0
+        ),
         "bm25_page_sorted": oracle.page_sql(
             "hash join", rows=10, sort=[("dl", "desc")], start=10
         ),

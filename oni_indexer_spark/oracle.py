@@ -1134,3 +1134,133 @@ def facet_query_sql(
         "WITH " + ",\n".join(ctes) + f"\nSELECT name, count FROM ({body})\n"
         "ORDER BY name ASC"
     ).strip()
+
+
+_BOOST_FN_SQL = {
+    "log1p": lambda v: f"ln(1.0 + {v})",
+    "linear": lambda v: f"({v})::double",
+}
+
+
+def _scored_cte(
+    query: str,
+    mode: str,
+    analyzer: str,
+    prefix: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> tuple[str, str]:
+    """(CTE text, scored-relation name) for a plain BM25 term query —
+    assumes base/dl/stats/tf CTEs already exist in the statement."""
+    terms = query_terms(query, analyzer)
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    cte = f"""
+{prefix}_q(term) AS (VALUES {_values(terms)}),
+{prefix}_qtf AS (SELECT tf.* FROM tf JOIN {prefix}_q USING (term)),
+{prefix}_dfreq AS (SELECT term, count(*) AS df FROM {prefix}_qtf GROUP BY term),
+{prefix}_scored AS (
+  SELECT qtf.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * qtf.tf * ({k1} + 1.0)
+              / (qtf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM {prefix}_qtf qtf
+  JOIN {prefix}_dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qtf.doc_id
+  {having}
+)""".strip()
+    return cte, f"{prefix}_scored"
+
+
+_SHARED_TF_CTES = """
+base AS (SELECT doc_id, {toks} AS toks FROM {table}),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT b.doc_id, t.term, count(*) AS tf
+  FROM base b, unnest(b.toks) AS t(term)
+  GROUP BY b.doc_id, t.term
+)""".strip()
+
+
+def boost_topk_sql(
+    query: str,
+    boost_field: str = "dl",
+    k: int = 10,
+    weight: float = 1.0,
+    fn: str = "log1p",
+    mode: str = "or",
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Oracle twin of ``rescore.boost_topk`` (Solr bf boost function).
+    ``boost_field='dl'`` resolves to the analyzed token length."""
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    shared = _SHARED_TF_CTES.format(toks=toks, table=table)
+    scored_cte, scored = _scored_cte(query, mode, analyzer, "m")
+    if boost_field == "dl":
+        bval = "dl.dl"
+        bjoin = "JOIN dl USING (doc_id)"
+    else:
+        bval = f"doc.{_doc_col(boost_field)}"
+        bjoin = f"JOIN {table} doc USING (doc_id)"
+    bexpr = _BOOST_FN_SQL[fn](bval)
+    return f"""
+WITH {shared},
+{scored_cte},
+boosted AS (
+  SELECT s.doc_id, s.score + {weight} * {bexpr} AS score
+  FROM {scored} s {bjoin}
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM boosted
+)
+SELECT rank::int AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def rerank_topk_sql(
+    query: str,
+    rerank_query: str,
+    k: int = 10,
+    rerank_docs: int = 50,
+    weight: float = 2.0,
+    mode: str = "or",
+    rerank_mode: str = "or",
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Oracle twin of ``rescore.rerank_topk`` (Solr ReRankQParser)."""
+    toks = analyzer_tokens_sql(text_col, analyzer)
+    shared = _SHARED_TF_CTES.format(toks=toks, table=table)
+    m_cte, m_scored = _scored_cte(query, mode, analyzer, "m")
+    r_cte, r_scored = _scored_cte(rerank_query, rerank_mode, analyzer, "r")
+    return f"""
+WITH {shared},
+{m_cte},
+{r_cte},
+win AS (
+  SELECT doc_id, score AS base_score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS brank
+  FROM {m_scored}
+),
+finals AS (
+  SELECT w.doc_id,
+         w.base_score + {weight} * coalesce(r.score, 0.0) AS score
+  FROM win w LEFT JOIN {r_scored} r USING (doc_id)
+  WHERE w.brank <= {rerank_docs}
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM finals
+)
+SELECT rank::int AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+""".strip()
