@@ -528,6 +528,17 @@ def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=10, rerank_docs=50, weight=2.0)
 
 
+def _q_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SynonymQuery: ('join'|'merge') as ONE pseudo-term (tf
+    summed before saturation, df = max member df) OR'd with 'hash' —
+    Solr query-time SynonymGraphFilter semantics."""
+    from oni_indexer_spark.query.synonyms import synonym_topk
+
+    return _rounded(
+        synonym_topk(_index(spark, sf_dir), [["join", "merge"], "hash"], k=10)
+    )
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-document duplicated-substring removal (Lee et al. 2022
     # semantics, distributed as duplicated-n-gram coverage union)
@@ -1108,6 +1119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # etl_resolve_fixpoint in-window)
         "bm25_boost_dl": _q_boost_dl,
         "bm25_rerank": _q_rerank,
+        # NEW r5 (late): Lucene SynonymQuery (slot from dedup_minhash_sig
+        # — green r4; the MinHash family keeps dedup_minhash_lsh
+        # in-window)
+        "bm25_synonyms": _q_synonyms,
         # Solr paging surface (slots from schema_dynamic_fields +
         # etl_reverse_via — both green r3+r4; dynamic-field coverage
         # stays via etl_facet_multi/copyfield, reverse-hop via
@@ -1157,7 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "etl_config_pipeline": _q_etl_config_pipeline,
         "etl_resolve_fixpoint": _q_etl_fixpoint,
-        "dedup_minhash_sig": _q_minhash,
         "etl_validate_date": _q_etl_validate_date,
         "dedup_exact": _q_dedup_exact,
         # n-gram jaccard rotated to tail for bm25_boolean (green r3+r4)
@@ -1196,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": _q_ann_lsh,
         "etl_via_includes": _q_etl_via_includes,
         "etl_map_all": _q_etl_map_all,
+        "dedup_minhash_sig": _q_minhash,
         "facet_lang": _q_facet_lang,
         "term_dfreq": _q_dfreq,
         "sim_cosine_pairs": _q_cosine_pairs,
@@ -1255,6 +1270,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_rerank": oracle.rerank_topk_sql(
             "the", "hash join", k=10, rerank_docs=50, weight=2.0
+        ),
+        "bm25_synonyms": oracle.synonym_topk_sql(
+            [["join", "merge"], "hash"], k=10
         ),
         "bm25_page_sorted": oracle.page_sql(
             "hash join", rows=10, sort=[("dl", "desc")], start=10

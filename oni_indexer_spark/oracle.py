@@ -1264,3 +1264,76 @@ ranked AS (
 SELECT rank::int AS rank, doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+def synonym_topk_sql(
+    groups: list,
+    k: int = 10,
+    mode: str = "or",
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Oracle twin of ``synonyms.synonym_topk`` (Lucene SynonymQuery):
+    per group, tf = sum of member tfs (merged BEFORE saturation),
+    df = max member docFreq; groups combine as score-sum (OR) or
+    all-groups-hit (AND)."""
+    norm: list[list[str]] = []
+    for g in groups:
+        members = [g] if isinstance(g, str) else list(g)
+        toks: list[str] = []
+        for m in members:
+            ts = analyzer_tokenize_py(m, analyzer)
+            if ts and ts[0] not in toks:
+                toks.append(ts[0])
+        if toks:
+            norm.append(toks)
+    toks_expr = analyzer_tokens_sql(text_col, analyzer)
+    syn_vals = ", ".join(
+        f"('{_sq(t)}', {gi})" for gi, g in enumerate(norm) for t in g
+    )
+    having = f"HAVING count(*) = {len(norm)}" if mode == "and" else ""
+    return f"""
+WITH base AS (SELECT doc_id, {toks_expr} AS toks FROM {table}),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT b.doc_id, t.term, count(*) AS tf
+  FROM base b, unnest(b.toks) AS t(term)
+  GROUP BY b.doc_id, t.term
+),
+syn(term, grp) AS (VALUES {syn_vals}),
+gtf AS (
+  SELECT tf.doc_id, s.grp, sum(tf.tf) AS tf
+  FROM tf JOIN syn s USING (term)
+  GROUP BY tf.doc_id, s.grp
+),
+gdf AS (
+  SELECT s.grp, max(d.df) AS df
+  FROM (SELECT term, count(*) AS df FROM tf
+        JOIN syn USING (term) GROUP BY term) d
+  JOIN syn s USING (term)
+  GROUP BY s.grp
+),
+scored AS (
+  SELECT g.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * g.tf * ({k1} + 1.0)
+              / (g.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM gtf g
+  JOIN gdf d USING (grp)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY g.doc_id
+  {having}
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT rank::int AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+""".strip()
