@@ -205,3 +205,19 @@ def test_group_topk_single_group_shuffle(disk_index):
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan  # heads reuse the members' gk shuffle
     assert "BroadcastHashJoin [gk" in plan
+
+
+def test_synonym_plan_shape(disk_index):
+    """SynonymQuery rides the same one-blob-shuffle plan as plain
+    multi-term: scan pruned by bucket dir + In(tid), ONE Exchange of
+    compressed block rows, scatter-add inside the Arrow worker, no JVM
+    aggregate. (_ranked adds its TakeOrdered on top.)"""
+    from oni_indexer_spark.query.synonyms import synonym_topk
+
+    plan = _plan(synonym_topk(disk_index, [["join", "merge"], "hash"], k=10))
+    assert "PartitionFilters: [bucket" in plan
+    assert "PushedFilters: [In(tid" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" not in plan
+    assert "MapInArrow" in plan
