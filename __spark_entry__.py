@@ -539,6 +539,20 @@ def _q_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fl_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr fl stored-field retrieval: top-10 of 'hash join' with
+    lang+repo attached — k-row broadcast against a column-pruned doc
+    scan (the index stores no content, like Solr stored fields)."""
+    from oni_indexer_spark.query.bm25 import topk_fields
+
+    out = topk_fields(
+        _index(spark, sf_dir), _docs(spark, sf_dir), "hash join",
+        ["lang", "repo"], k=10,
+    )
+    return out.select("rank", "doc_id", F.round("score", 6).alias("score"),
+                      "lang", "repo")
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-document duplicated-substring removal (Lee et al. 2022
     # semantics, distributed as duplicated-n-gram coverage union)
@@ -1123,6 +1137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — green r4; the MinHash family keeps dedup_minhash_lsh
         # in-window)
         "bm25_synonyms": _q_synonyms,
+        # NEW r5 (late): fl stored-field retrieval (slot from
+        # facet_content_multi — green r4; facet family keeps six
+        # sibling in-window rows)
+        "bm25_fl_fields": _q_fl_fields,
         # Solr paging surface (slots from schema_dynamic_fields +
         # etl_reverse_via — both green r3+r4; dynamic-field coverage
         # stays via etl_facet_multi/copyfield, reverse-hop via
@@ -1157,7 +1175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot_lang_repo": _q_facet_pivot,
         "facet_query_named": _q_facet_query,
         "doclen_sha256": _q_doclen,
-        "facet_content_multi": _q_facet_multi_counts,
         "facet_repo": _q_facet_repo,
         # NEW r5 (late): cross-doc duplicated-substring removal
         # (Lee et al. 2022 exact-substring dedup, suffix-array-free);
@@ -1211,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_via_includes": _q_etl_via_includes,
         "etl_map_all": _q_etl_map_all,
         "dedup_minhash_sig": _q_minhash,
+        "facet_content_multi": _q_facet_multi_counts,
         "facet_lang": _q_facet_lang,
         "term_dfreq": _q_dfreq,
         "sim_cosine_pairs": _q_cosine_pairs,
@@ -1273,6 +1291,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_synonyms": oracle.synonym_topk_sql(
             [["join", "merge"], "hash"], k=10
+        ),
+        "bm25_fl_fields": oracle.topk_fields_sql(
+            "hash join", ["lang", "repo"], k=10
         ),
         "bm25_page_sorted": oracle.page_sql(
             "hash join", rows=10, sort=[("dl", "desc")], start=10

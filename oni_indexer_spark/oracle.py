@@ -1337,3 +1337,28 @@ ranked AS (
 SELECT rank::int AS rank, doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+def topk_fields_sql(
+    query: str,
+    fields: list[str],
+    k: int = 10,
+    mode: str = "or",
+    table: str = "documents",
+    text_col: str = "text",
+    analyzer: str = "code",
+) -> str:
+    """Oracle twin of ``bm25.topk_fields`` (Solr fl): the plain BM25
+    top-k joined to the documents view for the requested stored
+    columns. Engine metadata names map through ``_doc_col``."""
+    inner = bm25_topk_sql(
+        query, k=k, mode=mode, table=table, text_col=text_col, analyzer=analyzer
+    )
+    cols = ", ".join(
+        f"d.{_doc_col(f)} AS {f}" for f in fields
+    )
+    return (
+        f"SELECT t.rank, t.doc_id, t.score, {cols}\n"
+        f"FROM ({inner}) t JOIN {table} d USING (doc_id)\n"
+        f"ORDER BY t.rank"
+    )

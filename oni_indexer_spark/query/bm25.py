@@ -1987,3 +1987,35 @@ def topk_direct(
             _fq_keep(docs, fq).select("doc_id"), "doc_id", "left_semi"
         )
     return _ranked(scored.select("doc_id", "score"), k)
+
+
+def topk_fields(
+    tables: IndexTables,
+    docs: DataFrame,
+    query: str,
+    fields: list[str],
+    k: int = 10,
+    mode: str = "or",
+    fq: dict | None = None,
+) -> DataFrame:
+    """Solr's ``fl`` parameter: top-k with the requested STORED fields
+    attached (the portal requests ``fl=id,name,description,...`` on
+    every search, ``oni-indexer.js`` portal result list; Solr reads
+    stored fields for the page of hits only). Returns
+    ``(rank, doc_id, score, *fields)`` ordered by rank.
+
+    Scale shape: ranking reuses the full index path unchanged; field
+    retrieval is the k-row result BROADCAST against the document store
+    — one pruned corpus scan reading only the requested columns
+    (column-pruned parquet scan), output bounded at k rows. Same
+    separation as Solr: the index stores no document content."""
+    missing = [f for f in fields if f not in docs.columns]
+    if missing:
+        raise ValueError(f"unknown stored fields: {missing}")
+    top = topk(tables, query, k=k, mode=mode, fq=fq)
+    return (
+        docs.select("doc_id", *fields)
+        .join(F.broadcast(top), "doc_id")
+        .select("rank", "doc_id", "score", *fields)
+        .orderBy("rank")
+    )

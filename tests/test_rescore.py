@@ -92,3 +92,45 @@ def test_rerank_window_bound_respected(rtab):
     got = _rows(rerank_topk(rtab, "the", "hash join", k=10, rerank_docs=12))
     exp = _oracle(rerank_topk_sql("the", "hash join", k=10, rerank_docs=12))
     _assert_match(got, exp)
+
+
+# ------------------------------------------------ fl stored-field retrieval
+
+def test_topk_fields_matches_oracle(rtab, docs):
+    from oni_indexer_spark.oracle import topk_fields_sql
+    from oni_indexer_spark.query.bm25 import topk_fields
+
+    df = topk_fields(rtab, docs, "hash join", ["lang", "repo"], k=10)
+    got = [(r[0], r[1], round(r[2], 6), r[3], r[4])
+           for r in df.orderBy("rank").collect()]
+    con_rows = _oracle_raw(topk_fields_sql("hash join", ["lang", "repo"], k=10))
+    exp = [(r[0], r[1], round(r[2], 6), r[3], r[4]) for r in con_rows]
+    assert got == exp
+
+
+def test_topk_fields_prunes_doc_scan_and_broadcasts(rtab, docs):
+    from oni_indexer_spark.query.bm25 import topk_fields
+
+    df = topk_fields(rtab, docs, "hash join", ["lang"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the doc-store scan must NOT read content for field retrieval
+    doc_scans = [l for l in plan.splitlines()
+                 if "FileScan" in l and "lang" in l]
+    assert doc_scans and all("content" not in l for l in doc_scans)
+
+
+def test_topk_fields_rejects_unknown_field(rtab, docs):
+    from oni_indexer_spark.query.bm25 import topk_fields
+
+    with pytest.raises(ValueError):
+        topk_fields(rtab, docs, "hash", ["nope_col"])
+
+
+def _oracle_raw(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    return con.execute(sql).fetchall()
