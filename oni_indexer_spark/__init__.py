@@ -21,6 +21,9 @@ This package implements BOTH halves natively on Spark DataFrames:
 - :mod:`oni_indexer_spark.ops`        — large-scale corpus operations:
   dedup (exact/minhash/simhash/jaccard), similarity search, text quality,
   multimodal plumbing.
+- :mod:`oni_indexer_spark.sources`    — input dispatch (Parquet path /
+  Iceberg catalog table with snapshot time travel — the OCFL version
+  read), input-hint contract validation, deterministic doc-id minting.
 """
 
 __version__ = "0.1.0"
