@@ -10,9 +10,15 @@ Cluster:
 Local smoke:
   python scripts/build_index.py --input /root/testdata/sf0.01 --output /tmp/idx
 
-The input is either a directory containing documents.parquet in the
-driver's shape (doc_id, text, lang, source, n_chars) or any table with
-(doc_id, content [, repo, path, lang]) columns.
+The input is one of:
+- a directory containing documents.parquet in the driver's shape
+  (doc_id, text, lang, source, n_chars),
+- an input-hint table (repo, path, commit, lang, content) as a Parquet
+  path or an Iceberg catalog identifier (``--format iceberg``,
+  ``--snapshot-id`` / ``--as-of-timestamp`` time travel; ``--mint-ids``
+  derives deterministic doc_ids from the identity triple), or
+- any Parquet table with (doc_id, content [, repo, path, lang]) columns
+  (loose fallback).
 """
 
 from __future__ import annotations
@@ -37,6 +43,13 @@ def main() -> None:
         "--analyzer", default="code", choices=["code", "text_en", "text_en_porter"]
     )
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
+    ap.add_argument("--snapshot-id", type=int, default=None)
+    ap.add_argument("--as-of-timestamp", type=int, default=None)
+    ap.add_argument("--mint-ids", action="store_true",
+                    help="derive doc_id = xxhash64(repo, path, commit)")
+    ap.add_argument("--strict-ids", action="store_true",
+                    help="verify minted ids are collision-free (one aggregate)")
     ap.add_argument("--limit", type=int, default=None, help="index at most N docs (reference --limit parity)")
     args = ap.parse_args()
 
@@ -55,7 +68,23 @@ def main() -> None:
     ):
         docs = from_driver_documents(spark, args.input)
     else:
-        docs = spark.read.parquet(args.input)
+        from oni_indexer_spark.sources import load_documents
+
+        try:
+            docs = load_documents(
+                spark,
+                args.input,
+                fmt=None if args.format == "auto" else args.format,
+                snapshot_id=args.snapshot_id,
+                as_of_timestamp=args.as_of_timestamp,
+                mint_ids=args.mint_ids,
+                strict_ids=args.strict_ids,
+            )
+        except ValueError as e:
+            if "input hint" not in str(e):
+                raise
+            # loose fallback: any parquet with (doc_id, content, ...)
+            docs = spark.read.parquet(args.input)
     if args.limit:
         docs = docs.where(docs.doc_id < args.limit)
 

@@ -41,22 +41,37 @@ def test_mistyped_column_fails_fast(spark, corpus_path):
         validate_documents(df)
 
 
-def test_mint_ids_deterministic_and_partition_independent(spark, corpus_path):
+@pytest.mark.parametrize("strategy", ["dense", "hash64"])
+def test_mint_ids_deterministic_and_partition_independent(
+    spark, corpus_path, strategy
+):
     base = spark.read.parquet(corpus_path).drop("doc_id")
-    a = with_doc_ids(base, strict=True)
-    b = with_doc_ids(base.repartition(7, "path"), strict=True)
+    a = with_doc_ids(base, strategy=strategy, strict=True)
+    b = with_doc_ids(base.repartition(7, "path"), strategy=strategy, strict=True)
     rows_a = {r["path"]: r["doc_id"] for r in a.select("path", "doc_id").collect()}
     rows_b = {r["path"]: r["doc_id"] for r in b.select("path", "doc_id").collect()}
     assert rows_a == rows_b
     assert len(set(rows_a.values())) == 200
 
 
-def test_strict_ids_raise_on_collision(spark, corpus_path):
-    # two rows with the same identity triple hash to the same doc_id
+def test_dense_ids_are_rank_of_identity_triple(spark, corpus_path):
+    base = spark.read.parquet(corpus_path).drop("doc_id")
+    got = with_doc_ids(base, strategy="dense").select(
+        "repo", "path", "commit", "doc_id"
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(200))
+    by_rank = sorted(got, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    assert [r["doc_id"] for r in by_rank] == list(range(200))
+
+
+@pytest.mark.parametrize("strategy", ["dense", "hash64"])
+def test_strict_ids_raise_on_duplicate_triple(spark, corpus_path, strategy):
+    # duplicate identity triples: hash64 collides outright; dense ids
+    # would be order-unstable — strict rejects both
     one = spark.read.parquet(corpus_path).drop("doc_id").limit(1)
     dup = one.union(one)
     with pytest.raises(ValueError, match="doc_id collision"):
-        with_doc_ids(dup, strict=True)
+        with_doc_ids(dup, strategy=strategy, strict=True)
 
 
 def test_time_travel_rejected_for_parquet(spark, corpus_path):
