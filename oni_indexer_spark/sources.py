@@ -89,9 +89,11 @@ def with_doc_ids(
     (``block_id = doc_id // block_size``, ``seg = block_id //
     seg_blocks``: dense ids give full blocks and a bounded seg count).
     Computed scalably as range-repartition by the triple → per-partition
-    ``row_number`` → broadcast per-partition offsets: no global-window
-    single-partition funnel, all JVM-side; costs one extra pass for the
-    partition counts (the standard zipWithIndex shape). Ids are
+    ``row_number`` → broadcast per-partition offsets (a cumulative sum
+    over the n_parts-row count table, inside the same plan so the range
+    shuffle is shared via ReuseExchange and offsets can never disagree
+    with the partitioning that numbered the rows): no global-window
+    single-partition funnel over the DATA, all JVM-side. Ids are
     snapshot-scoped: adding documents re-ranks, so use dense ids for
     fresh builds and let the append machinery assign id ranges for
     increments.
@@ -113,21 +115,25 @@ def with_doc_ids(
     elif strategy == "dense":
         from pyspark.sql.window import Window
 
-        spark = df.sparkSession
         n_parts = max(df.rdd.getNumPartitions(), 1)
         parts = df.repartitionByRange(n_parts, *_ID_KEY).withColumn(
             "_pid", F.spark_partition_id()
         )
-        counts = {
-            r["_pid"]: r["cnt"]
-            for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
-        offsets, acc = [], 0
-        for pid in sorted(counts):
-            offsets.append((pid, acc))
-            acc += counts[pid]
+        # Per-partition offsets as a plan-internal cumulative sum over the
+        # SAME exchange (ReuseExchange shares the one range shuffle), never
+        # a driver-side collect: the range partitioner re-samples its
+        # boundaries per execution, so offsets collected in a separate job
+        # can disagree with the partitioning of the job that computes the
+        # row_numbers (boundary rows swap partitions -> duplicate/skipped
+        # ids). Within ONE consistent partitioning, offset + local rank is
+        # the exact global sorted rank wherever the boundaries fall, so
+        # every execution of this plan yields identical ids.
+        w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
         off = F.broadcast(
-            spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+            parts.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+            .drop("_cnt")
         )
         w = Window.partitionBy("_pid").orderBy(*_ID_KEY)
         out = (

@@ -47,7 +47,11 @@ def main() -> None:
     ap.add_argument("--snapshot-id", type=int, default=None)
     ap.add_argument("--as-of-timestamp", type=int, default=None)
     ap.add_argument("--mint-ids", action="store_true",
-                    help="derive doc_id = xxhash64(repo, path, commit)")
+                    help="mint doc_id from (repo, path, commit) — see --id-strategy")
+    ap.add_argument("--id-strategy", default="dense", choices=["dense", "hash64"],
+                    help="dense = global rank of the identity triple (index "
+                    "builds need dense ids); hash64 = growth-stable xxhash64 "
+                    "(cross-snapshot join key, NOT for index builds)")
     ap.add_argument("--strict-ids", action="store_true",
                     help="verify minted ids are collision-free (one aggregate)")
     ap.add_argument("--limit", type=int, default=None, help="index at most N docs (reference --limit parity)")
@@ -79,6 +83,7 @@ def main() -> None:
                 as_of_timestamp=args.as_of_timestamp,
                 mint_ids=args.mint_ids,
                 strict_ids=args.strict_ids,
+                id_strategy=args.id_strategy,
             )
         except ValueError as e:
             if "input hint" not in str(e):

@@ -64,6 +64,32 @@ def test_dense_ids_are_rank_of_identity_triple(spark, corpus_path):
     assert [r["doc_id"] for r in by_rank] == list(range(200))
 
 
+def test_dense_ids_share_one_range_exchange(spark, corpus_path):
+    # The per-partition offsets are a cumulative sum computed INSIDE the
+    # same plan as the row_numbers: the range partitioner re-samples its
+    # boundaries per execution, so offsets from a separate driver-side
+    # job could disagree with the partitioning that numbered the rows
+    # (boundary rows swap partitions -> duplicate/skipped ids). Pin that
+    # the physical plan reuses a single range exchange for both branches.
+    base = spark.read.parquet(corpus_path).drop("doc_id")
+    out = with_doc_ids(base, strategy="dense")
+    out.collect()  # AQE finalizes reuse at execution time
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ReusedExchange" in plan or "ReusedShuffle" in plan
+
+
+def test_dense_ids_stable_across_reexecutions(spark, corpus_path):
+    # every execution of the minting plan must yield identical ids (the
+    # downstream index build triggers several actions over the same df)
+    base = spark.read.parquet(corpus_path).drop("doc_id")
+    out = with_doc_ids(base, strategy="dense").select("path", "doc_id")
+    runs = [{r["path"]: r["doc_id"] for r in out.collect()} for _ in range(3)]
+    assert runs[0] == runs[1] == runs[2]
+    assert sorted(runs[0].values()) == list(range(200))
+
+
 @pytest.mark.parametrize("strategy", ["dense", "hash64"])
 def test_strict_ids_raise_on_duplicate_triple(spark, corpus_path, strategy):
     # duplicate identity triples: hash64 collides outright; dense ids
