@@ -438,17 +438,24 @@ def build_index(docs: DataFrame, cfg: IndexConfig | None = None) -> IndexTables:
     doclen = _doclen_table(docs, cfg)
     n_docs, avgdl = _collect_stats(doclen)
     spark = docs.sparkSession
-    stats = spark.createDataFrame(
-        [(n_docs, avgdl)],
-        T.StructType(
-            [
-                T.StructField("n_docs", T.LongType()),
-                T.StructField("avgdl", T.DoubleType()),
-            ]
-        ),
-    )
+    stats = _stats_df(spark, [(n_docs, avgdl)])
     tf = _tf_table(docs, cfg)
     return IndexTables(_postings_blocks(tf, cfg), doclen, _dfreq_table(tf), stats, cfg)
+
+
+def _stats_df(spark: SparkSession, rows: list[tuple[int, float]]) -> DataFrame:
+    """Stats rows as a LOCAL relation. ``createDataFrame([...])``
+    parallelizes the rows over defaultParallelism mostly-empty slices,
+    so writing them launches a 32-task job (measured 1-3.5s of pure
+    scheduling at local[32]); literal SELECTs fold to a LocalRelation
+    and write as one task. The avgdl double round-trips exactly through
+    repr() + CAST(string AS DOUBLE)."""
+    sels = [
+        "SELECT CAST(%d AS BIGINT) AS n_docs, CAST('%r' AS DOUBLE) AS avgdl"
+        % (int(n), float(a))
+        for n, a in rows
+    ]
+    return spark.sql(" UNION ALL ".join(sels))
 
 
 def _collect_stats(doclen: DataFrame) -> tuple[int, float]:
@@ -561,28 +568,23 @@ def build_to_path(
         # parquet min/max stats on doc_id still prune id lookups. (Also:
         # an observe BELOW repartitionByRange double-counts — the sampling
         # pass re-executes the child plan; caught by the parity test.)
-        # disk mode (corpus scale): dl derives from the staged tf table —
-        # the content scan computes only sha256 + metadata, so the regex
-        # tokenize runs ONCE over 100 TB. cache mode (small corpora): the
-        # direct tokenize scan is cheaper than the O(n_docs) dl-aggregate
-        # shuffle + join the derivation costs (measured at 5k docs:
-        # job-scheduling overhead dominates, tokenize is sub-second).
-        if stage_mode == "disk":
-            doclen_src = _doclen_from_tf(docs, tf_staged, cfg)
-        else:
-            doclen_src = _doclen_table(docs, cfg)
+        # BOTH modes: dl derives from the staged tf table — the content
+        # scan computes only sha256 + metadata, so the regex tokenize
+        # runs ONCE per build (disk mode: over 100 TB; cache mode: the
+        # doclen write doubles as the tf cache fill). r6 re-measure at
+        # 50k docs: from-tf doclen 1.4-1.6s vs direct re-tokenize
+        # 1.7-2.1s, and the tokenize pass the direct path re-ran is
+        # gone from the postings stage entirely.
+        doclen_src = _doclen_from_tf(docs, tf_staged, cfg)
         doclen = doclen_src.observe(
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         )
         doclen.write.mode("overwrite").partitionBy("seg").parquet(f"{path}/doclen")
         # stats ride along with the write job (Observation) — no re-read
         n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"] or 0.0)
-        # NOTE no coalesce(1): coalescing a parallelized 1-row frame to
-        # one task stalls ~5s on locality-wait scheduling (measured);
-        # empty partitions write no parquet files anyway.
-        spark.createDataFrame(
-            [(n_docs, float(avgdl))], "n_docs long, avgdl double"
-        ).write.mode("overwrite").parquet(f"{path}/stats")
+        _stats_df(spark, [(n_docs, avgdl)]).write.mode("overwrite").parquet(
+            f"{path}/stats"
+        )
         lin.finish("doclen", t0, docs_tokenized=n_docs)
     for group in groups:
         stage = f"postings_g{group[0]:04d}"
@@ -719,9 +721,9 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
     )
     doclen.write.mode("append").partitionBy("seg").parquet(f"{path}/doclen")
     n_docs = int(obs.get["n"])
-    spark.createDataFrame(
-        [(n_docs, float(obs.get["avgdl"] or 0.0))], "n_docs long, avgdl double"
-    ).write.mode("append").parquet(f"{path}/stats")
+    _stats_df(spark, [(n_docs, float(obs.get["avgdl"] or 0.0))]).write.mode(
+        "append"
+    ).parquet(f"{path}/stats")
 
     blocks = _postings_blocks(tf, cfg)
     blocks.write.mode("append").partitionBy("bucket", "seg").parquet(f"{path}/postings")
@@ -881,9 +883,7 @@ def overwrite_docs(
     rows = [(int(new_stats["n"]), float(new_stats["avgdl"] or 0.0))]
     if n_removed:
         rows.append((-n_removed, avgdl_removed))
-    spark.createDataFrame(rows, "n_docs long, avgdl double").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/stats.next")
+    _stats_df(spark, rows).write.mode("overwrite").parquet(f"{path}/stats.next")
 
     swap_fs = _fs_for(path, spark)
     _write_swap_manifest(path, segs, cfg.n_buckets, swap_fs)
@@ -1012,9 +1012,9 @@ def delete_docs(
         "overwrite"
     ).partitionBy("seg").parquet(f"{path}/doclen.next")
 
-    spark.createDataFrame(
-        [(-n_removed, avgdl_removed)], "n_docs long, avgdl double"
-    ).write.mode("overwrite").parquet(f"{path}/stats.next")
+    _stats_df(spark, [(-n_removed, avgdl_removed)]).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats.next")
 
     swap_fs = _fs_for(path, spark)
     _write_swap_manifest(path, segs, cfg.n_buckets, swap_fs)
@@ -1139,9 +1139,8 @@ def compact_index(
     stats_rows = spark.read.parquet(f"{path}/stats").collect()
     n_total = sum(int(r["n_docs"]) for r in stats_rows)
     total_dl = sum(int(r["n_docs"]) * float(r["avgdl"]) for r in stats_rows)
-    spark.createDataFrame(
-        [(n_total, (total_dl / n_total) if n_total else 0.0)],
-        "n_docs long, avgdl double",
+    _stats_df(
+        spark, [(n_total, (total_dl / n_total) if n_total else 0.0)]
     ).write.mode("overwrite").parquet(f"{path}/stats.next")
 
     swap_fs = _fs_for(path, spark)

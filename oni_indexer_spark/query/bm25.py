@@ -611,8 +611,14 @@ def _buckets_for(tables: IndexTables, terms: list[str]) -> list[int]:
 
 
 def _empty_result(tables: IndexTables) -> DataFrame:
-    return tables.postings.sparkSession.createDataFrame(
-        [], "rank int, doc_id long, score double"
+    # literal empty relation, NOT createDataFrame([]): the latter
+    # parallelizes defaultParallelism empty slices, so every collect of
+    # an empty result ran a 32-task job (measured 0.3s at local[32] —
+    # the entire cost of a zero-result query); this folds to an empty
+    # LocalRelation and collects driver-only (~10ms)
+    return tables.postings.sparkSession.sql(
+        "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS BIGINT) AS doc_id, "
+        "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
     )
 
 
@@ -622,6 +628,25 @@ def _empty_result(tables: IndexTables) -> DataFrame:
 # one bucket). Measured at 1M docs: df≈1M term 1.9s scan-side vs 0.8s
 # for 2M postings repartitioned.
 SINGLE_TERM_REPARTITION_MIN_POSTINGS = 200_000
+
+# Target decoded postings per reduce task of the block-aligned scorer.
+# The numpy decode runs ~2-3M postings/s per core, so 64k postings is
+# ~25ms of decode per task — enough to amortize task scheduling, small
+# enough that a 2M-posting query still fans out over ~32 cores. The
+# partition count is DERIVED from Σ df (known driver-side for free)
+# instead of pinned to spark.sql.shuffle.partitions: a 5k-doc corpus
+# gets 1-2 reduce tasks instead of 32 (32 near-empty tasks cost pure
+# scheduling), while corpus-scale queries still clamp up to the
+# session's shuffle width (guide §2: partitioning must be
+# scale-adaptive, not tuned to either local mode or the cluster).
+SCORER_POSTINGS_PER_PARTITION = 65_536
+
+
+def _scorer_nparts(spark, est_postings: int | None) -> int:
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if est_postings is None:
+        return conf_parts
+    return max(1, min(conf_parts, -(-int(est_postings) // SCORER_POSTINGS_PER_PARTITION)))
 
 
 def _scores(
@@ -685,11 +710,13 @@ def _scores(
         # AQE-coalescible shuffle, and the blob shuffle is only a few MB
         # per query — AQE would collapse it to ~1 post-shuffle partition
         # and serialize the decode (measured at 1M docs: 3-4-term
-        # latency went linear in decoded volume). Pinning the count
-        # keeps the numpy decode spread across the cores.
+        # latency went linear in decoded volume). The count is derived
+        # from Σ df (SCORER_POSTINGS_PER_PARTITION) so small corpora
+        # don't pay 32 near-empty reduce tasks of pure scheduling and
+        # large ones still fan the decode across the cores.
         spark = postings_subset.sparkSession
         if nparts is None:
-            nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            nparts = _scorer_nparts(spark, est_postings)
         pos_cols = ["n"] if cfg.positions else []
         co = (
             postings_subset.select("tid", "block_id", "block_min_dl", *pos_cols, "blob")
@@ -740,17 +767,19 @@ def _scores(
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
     """Top-k with deterministic tie-break: rank on (round(score,6) desc,
     doc_id asc). Rounding first makes ranking robust to non-associative
-    float summation (engine vs oracle agree bit-for-bit after round)."""
-    top = (
-        scored.withColumn("score_r", F.round("score", 6))
-        .orderBy(F.desc("score_r"), F.asc("doc_id"))
-        .limit(k)
-    )
+    float summation (engine vs oracle agree bit-for-bit after round).
+    Fused to 3 DataFrame ops (orderBy/limit/select) — the previous
+    withColumn/window/select chain cost ~20ms of extra driver-side plan
+    construction per query (py4j roundtrips dominate small-query
+    latency; profiled r6)."""
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", F.col("score").alias("score")
+    order = [F.desc(F.round("score", 6)), F.asc("doc_id")]
+    w = W.orderBy(*order)
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .select(F.row_number().over(w).alias("rank"), "doc_id", "score")
     )
 
 
@@ -1669,7 +1698,9 @@ class Searcher:
         if block_filter is not None:
             p = p.join(F.broadcast(block_filter), "block_id", "left_semi")
         spark = p.sparkSession
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        # same scale-adaptive fan-out as _scores (Σ df of the phrase's
+        # distinct terms bounds the decoded volume)
+        nparts = _scorer_nparts(spark, sum(dfs.values()))
         co = (
             p.select("tid", "block_id", "block_min_dl", "n", "blob")
             .repartition(nparts, F.col("block_id"))

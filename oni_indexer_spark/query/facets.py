@@ -243,38 +243,46 @@ def facet_query(
     BOTH the main query and the sub-query. Returns ``(name, count)``
     ordered by name.
 
-    Scale shape: the main match set is computed once (doc_id only) and
-    each named bucket is ONE left-semi join + 1-row count aggregate —
-    a driver loop over the handful of configured facet queries, never
-    over data. Nothing doc-sized leaves the cluster."""
+    Scale shape (single-pass, r5 VERDICT #4): the main match set is
+    computed once (doc_id only); every named bucket's match set is
+    tagged with its name and unioned, then ONE semi-join against the
+    main set + ONE partial-aggregated groupBy(name) counts all buckets
+    together — B buckets for the price of one scan of the match set,
+    instead of B separate semi-join + 1-row-count passes. Missing
+    buckets zero-fill from the driver-built name list (query-parameter-
+    sized). Nothing doc-sized leaves the cluster."""
     from oni_indexer_spark.query.bm25 import searcher_for
     from oni_indexer_spark.query.paging import _full_scores
 
     s = searcher_for(tables)
     spark = tables.doclen.sparkSession
+    names = sorted(named)
+    names_df = spark.createDataFrame([(n,) for n in names], "name string")
+    zero = names_df.select(
+        "name", F.lit(0).cast("long").alias("count")
+    ).orderBy(F.asc("name"))
+    if not names:
+        return zero
     base = _full_scores(s, query, mode, None, 0)
-    parts = []
-    for name in sorted(named):
-        if base is None:
-            cnt = spark.range(1).select(
-                F.lit(name).alias("name"), F.lit(0).cast("long").alias("count")
-            )
-        else:
-            sub = _full_scores(s, named[name], sub_mode, None, 0)
-            if sub is None:
-                cnt = spark.range(1).select(
-                    F.lit(name).alias("name"),
-                    F.lit(0).cast("long").alias("count"),
-                )
-            else:
-                cnt = (
-                    base.select("doc_id")
-                    .join(sub.select("doc_id"), "doc_id", "left_semi")
-                    .agg(F.count(F.lit(1)).cast("long").alias("count"))
-                    .select(F.lit(name).alias("name"), "count")
-                )
-        parts.append(cnt)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy(F.asc("name"))
+    if base is None:
+        return zero
+    tagged = []
+    for name in names:
+        sub = _full_scores(s, named[name], sub_mode, None, 0)
+        if sub is not None:
+            tagged.append(sub.select(F.lit(name).alias("name"), "doc_id"))
+    if not tagged:
+        return zero
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    counts = (
+        union.join(base.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+    return (
+        names_df.join(F.broadcast(counts), "name", "left")
+        .select("name", F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"))
+        .orderBy(F.asc("name"))
+    )

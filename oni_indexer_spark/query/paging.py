@@ -145,14 +145,23 @@ def page(
     return out
 
 
-def _full_scores(s, query: str, mode: str, fq: dict | None, slop: int):
+def _full_scores(
+    s, query: str, mode: str, fq: dict | None, slop: int,
+    allowed_bc=None, block_filter=None,
+):
     """Unranked full (doc_id, score) match set for any query mode —
     clause passes with k=None (per-batch selection off: every matching
-    doc can reach the page under an arbitrary sort)."""
+    doc can reach the page under an arbitrary sort).
+
+    ``allowed_bc`` / ``block_filter`` (only meaningful with ``fq=None``)
+    push a caller-known bounded doc set into the pass — the rerank
+    window pushdown: the scorer decodes only the window's blocks and
+    emits only window docs. Callers using them must ALSO bound their
+    final result to that doc set (e.g. join from the window side): the
+    uncompressed/legacy scorer path treats both as advisory."""
     from oni_indexer_spark.analyzer import analyzer_tokenize_py
 
     tables = s.tables
-    allowed_bc = None
     if fq is not None:
         fq_count, allowed_bc = s._fq_allowed(fq)
         if fq_count == 0:
@@ -163,9 +172,13 @@ def _full_scores(s, query: str, mode: str, fq: dict | None, slop: int):
         if not qtoks:
             return None
         if len(qtoks) == 1:
-            return _full_scores(s, qtoks[0], "or", fq, 0)
+            return _full_scores(
+                s, qtoks[0], "or", fq, 0,
+                allowed_bc=allowed_bc, block_filter=block_filter,
+            )
         return s._phrase_scores(
-            qtoks, None, fq=clause_fq, allowed_bc=allowed_bc, slop=slop
+            qtoks, None, fq=clause_fq, allowed_bc=allowed_bc, slop=slop,
+            block_filter=block_filter,
         )
     from oni_indexer_spark.analyzer import query_terms
 
@@ -176,5 +189,6 @@ def _full_scores(s, query: str, mode: str, fq: dict | None, slop: int):
     if not dfs or (mode == "and" and len(dfs) < len(terms)):
         return None
     return s._clause_scores(
-        dfs, mode=mode, fq=clause_fq, allowed_bc=allowed_bc
+        dfs, mode=mode, fq=clause_fq, allowed_bc=allowed_bc,
+        block_filter=block_filter,
     )

@@ -71,25 +71,52 @@ def rerank_topk(
     rerank_mode: str = "or",
 ) -> DataFrame:
     """Solr ReRankQParser: rescore the main query's top-``rerank_docs``
-    window as ``base + weight * rerank_score``, return the top ``k``."""
+    window as ``base + weight * rerank_score``, return the top ``k``.
+
+    Window pushdown (r5 VERDICT #7): the base window (≤ ``rerank_docs``
+    rows — bounded at any corpus size) is collected driver-side, and
+    rides into the rerank pass twice: its doc_ids as a broadcast sorted
+    array (the fq-pushdown mechanism — the scorer emits only window
+    docs) and its BLOCK list (block_id = doc_id // block_size, computed
+    driver-side) as a broadcast semi-join that prunes the rerank scan
+    BEFORE decode. The rerank query's postings outside the window's ≤N
+    blocks are never shuffled or decoded — previously the second pass
+    scored its terms full-width and threw almost all of it away at the
+    window join (measured 1M: q_rerank 3.79s vs 1.88s for the base
+    query alone). Exactness: per-doc totals are block-local, so
+    restricting to the window's blocks plus the final join FROM the
+    window side yields byte-identical scores."""
     from oni_indexer_spark.query.bm25 import _empty_result, _ranked, searcher_for
     from oni_indexer_spark.query.paging import _full_scores
 
     if k > rerank_docs:
         raise ValueError("k must be <= rerank_docs (only the window is rescored)")
     s = searcher_for(tables)
-    base = s.topk(query, k=rerank_docs, mode=mode).select(
-        "doc_id", F.col("score").alias("base_score")
+    base_rows = (
+        s.topk(query, k=rerank_docs, mode=mode)
+        .select("doc_id", F.col("score").alias("base_score"))
+        .collect()
     )
-    rr = _full_scores(s, rerank_query, rerank_mode, None, 0)
+    if not base_rows:
+        return _empty_result(tables)
+    spark = tables.doclen.sparkSession
+    base = spark.createDataFrame(base_rows, "doc_id long, base_score double")
+    import numpy as np
+
+    ids = np.sort(np.array([r["doc_id"] for r in base_rows], dtype=np.int64))
+    allowed_bc = spark.sparkContext.broadcast(ids)
+    blocks = sorted({int(i) // tables.cfg.block_size for i in ids})
+    block_filter = spark.createDataFrame([(b,) for b in blocks], "block_id long")
+    rr = _full_scores(
+        s, rerank_query, rerank_mode, None, 0,
+        allowed_bc=allowed_bc, block_filter=block_filter,
+    )
     if rr is None:
         final = base.select(
             "doc_id", F.col("base_score").alias("score")
         )
         return _ranked(final, k)
-    window_rr = rr.join(F.broadcast(base.select("doc_id")), "doc_id").select(
-        "doc_id", F.col("score").alias("rr_score")
-    )
+    window_rr = rr.select("doc_id", F.col("score").alias("rr_score"))
     final = (
         base.join(window_rr, "doc_id", "left")
         .select(

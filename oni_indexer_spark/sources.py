@@ -116,18 +116,24 @@ def with_doc_ids(
         from pyspark.sql.window import Window
 
         n_parts = max(df.rdd.getNumPartitions(), 1)
-        parts = df.repartitionByRange(n_parts, *_ID_KEY).withColumn(
-            "_pid", F.spark_partition_id()
+        # Materialize the range shuffle ONCE before deriving the two
+        # consumers (row_number + per-partition offsets). The range
+        # partitioner re-samples its boundaries per exchange (seeded by
+        # RDD id), and relying on ReuseExchange to share one exchange
+        # between the branches is fragile: column pruning makes the two
+        # subtrees non-identical on real file sources, reuse silently
+        # fails to fire, and boundary rows can land in different
+        # partitions in the two independent shuffles — duplicate/skipped
+        # doc_ids (r5 VERDICT #1, reproduced on parquet). An eager
+        # localCheckpoint pins one physical partitioning that both
+        # branches read, so offset + local rank is the exact global
+        # sorted rank wherever the sampled boundaries fell, identically
+        # across every downstream execution.
+        parts = (
+            df.repartitionByRange(n_parts, *_ID_KEY)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
         )
-        # Per-partition offsets as a plan-internal cumulative sum over the
-        # SAME exchange (ReuseExchange shares the one range shuffle), never
-        # a driver-side collect: the range partitioner re-samples its
-        # boundaries per execution, so offsets collected in a separate job
-        # can disagree with the partitioning of the job that computes the
-        # row_numbers (boundary rows swap partitions -> duplicate/skipped
-        # ids). Within ONE consistent partitioning, offset + local rank is
-        # the exact global sorted rank wherever the boundaries fall, so
-        # every execution of this plan yields identical ids.
         w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
         off = F.broadcast(
             parts.groupBy("_pid")

@@ -71,7 +71,13 @@ def main() -> None:
 
     out = {"n_docs": n_docs, "build_sec": build_sec, "queries": {}}
     for name, q in queries:
-        est = sum(searcher.term_dfs(q.split()).values())
+        # analyze exactly as Searcher.topk does (r5 ADVICE: raw q.split()
+        # can diverge from the analyzed terms the auto-prune gate costs)
+        from oni_indexer_spark.analyzer import query_terms
+
+        est = sum(
+            searcher.term_dfs(query_terms(q, searcher.tables.cfg.analyzer)).values()
+        )
         off = round(statistics.median(samples[(name, False)]), 3)
         on = round(statistics.median(samples[(name, True)]), 3)
         out["queries"][name] = {

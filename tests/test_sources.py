@@ -65,19 +65,54 @@ def test_dense_ids_are_rank_of_identity_triple(spark, corpus_path):
 
 
 def test_dense_ids_share_one_range_exchange(spark, corpus_path):
-    # The per-partition offsets are a cumulative sum computed INSIDE the
-    # same plan as the row_numbers: the range partitioner re-samples its
-    # boundaries per execution, so offsets from a separate driver-side
-    # job could disagree with the partitioning that numbered the rows
-    # (boundary rows swap partitions -> duplicate/skipped ids). Pin that
-    # the physical plan reuses a single range exchange for both branches.
+    # The per-partition offsets and the row_numbers must see the SAME
+    # physical range partitioning: the range partitioner re-samples its
+    # boundaries per exchange, so two independent shuffles could place
+    # boundary rows in different partitions in the two branches
+    # (duplicate/skipped ids). ReuseExchange proved fragile (column
+    # pruning de-canonicalizes the branches on file sources — r5 VERDICT
+    # #1), so the shuffle is now materialized ONCE via an eager
+    # localCheckpoint before branching. Pin that: the minting plan must
+    # read a checkpointed RDD and contain NO rangepartitioning exchange
+    # of its own (both would re-sample boundaries).
     base = spark.read.parquet(corpus_path).drop("doc_id")
     out = with_doc_ids(base, strategy="dense")
-    out.collect()  # AQE finalizes reuse at execution time
+    out.collect()
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "ReusedExchange" in plan or "ReusedShuffle" in plan
+    assert "ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_dense_ids_multi_partition_contiguity_100k(spark):
+    # r5 VERDICT #1 "done" criterion: at >=100k rows over many input
+    # partitions, dense ids must be exactly 0..n-1 (no duplicates, no
+    # gaps) and identical across independent mints of differently
+    # partitioned input — the failure mode of un-shared range shuffles
+    # was boundary rows getting duplicate/skipped ids at scale.
+    n = 100_000
+    base = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("repo-"), (F.col("id") % 7).cast("string")).alias("repo"),
+            F.concat(F.lit("p/"), F.col("id").cast("string")).alias("path"),
+            F.sha2(F.col("id").cast("string"), 256).alias("commit"),
+        )
+        .repartition(16)
+    )
+    a = with_doc_ids(base, strategy="dense")
+    agg = a.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("d"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 0, n - 1)
+    b = with_doc_ids(base.repartition(3, "repo"), strategy="dense")
+    ids_a = {r["path"]: r["doc_id"] for r in a.select("path", "doc_id").collect()}
+    ids_b = {r["path"]: r["doc_id"] for r in b.select("path", "doc_id").collect()}
+    assert ids_a == ids_b
 
 
 def test_dense_ids_stable_across_reexecutions(spark, corpus_path):
