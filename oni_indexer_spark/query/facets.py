@@ -229,6 +229,123 @@ def facet_pivot(
     )
 
 
+def _make_facet_count_arrow(
+    block_size: int,
+    main_tids: list[int],
+    main_all: bool,
+    buckets: list[tuple[str, list[int], bool]],
+    positions: bool = False,
+):
+    """Fused facet.query counter: consumes (tid, block_id, block_min_dl
+    [, n], blob) rows hash-partitioned and sorted by block_id (every
+    query term's postings for a doc-range block arrive together, same
+    contract as the bm25 scorers). One numpy pass per batch of complete
+    blocks builds a per-term presence mask over the dense (group ×
+    block_size) slot grid, combines masks per bucket (AND/OR), and
+    accumulates ``count(main_hit & bucket_hit)`` — each partition emits
+    ONE tiny (name, count) partial batch. No per-doc row ever leaves
+    the worker, vs the join formulation's |match set|-sized clause
+    outputs + semi-join shuffle."""
+
+    def _count(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from oni_indexer_spark.index.codec import (
+            decode_postings_flat,
+            decode_postings_pos_flat,
+        )
+
+        acc = np.zeros(len(buckets), dtype=np.int64)
+
+        def process(tb):
+            idx = {n: i for i, n in enumerate(tb.schema.names)}
+            blobs = tb.column(idx["blob"]).to_pylist()
+            if not blobs:
+                return
+            tids = tb.column(idx["tid"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            blk = tb.column(idx["block_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            base_docs = blk * block_size
+            base_dls = (
+                tb.column(idx["block_min_dl"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            if positions:
+                ns = tb.column(idx["n"]).to_numpy(zero_copy_only=False).astype(np.int64)
+                doc_ids, _tf, _dl, counts, _p = decode_postings_pos_flat(
+                    blobs, ns, base_docs, base_dls, with_positions=False
+                )
+            else:
+                doc_ids, _tf, _dl, counts = decode_postings_flat(
+                    blobs, base_docs, base_dls
+                )
+            if doc_ids.size == 0:
+                return
+            new_grp = np.concatenate(([True], blk[1:] != blk[:-1]))
+            grp_of_row = np.cumsum(new_grp) - 1
+            n_grp = int(grp_of_row[-1]) + 1
+            grp_base = base_docs[new_grp]
+            grp_rep = np.repeat(grp_of_row, counts)
+            slot = grp_rep * block_size + (doc_ids - grp_base[grp_rep])
+            n_slots = n_grp * block_size
+            tid_of_post = np.repeat(tids, counts)
+            masks: dict[int, "np.ndarray"] = {}
+
+            def mask_of(t: int) -> "np.ndarray":
+                m = masks.get(t)
+                if m is None:
+                    m = np.zeros(n_slots, dtype=bool)
+                    m[slot[tid_of_post == t]] = True
+                    masks[t] = m
+                return m
+
+            def combo(ts: list[int], require_all: bool) -> "np.ndarray":
+                m = mask_of(ts[0]).copy()
+                for t in ts[1:]:
+                    if require_all:
+                        m &= mask_of(t)
+                    else:
+                        m |= mask_of(t)
+                return m
+
+            main_m = combo(main_tids, main_all)
+            for bi, (_name, btids, ball) in enumerate(buckets):
+                acc[bi] += int(np.count_nonzero(main_m & combo(btids, ball)))
+
+        carry = None
+        for bt in batches:
+            if carry is not None:
+                bt = pa.Table.from_batches([carry, bt]).combine_chunks().to_batches()[0]
+                carry = None
+            n = len(bt)
+            if n == 0:
+                continue
+            idx = {nm: i for i, nm in enumerate(bt.schema.names)}
+            blk = bt.column(idx["block_id"]).to_numpy(zero_copy_only=False)
+            last_start = int(np.searchsorted(blk, blk[n - 1], side="left"))
+            carry = bt.slice(last_start)
+            if last_start > 0:
+                process(bt.slice(0, last_start))
+        if carry is not None and len(carry) > 0:
+            process(carry)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([name for name, _t, _a in buckets], type=pa.string()),
+                pa.array(acc, type=pa.int64()),
+            ],
+            names=["name", "count"],
+        )
+
+    return _count
+
+
+def _names_df(spark, names: list[str]) -> DataFrame:
+    """Literal VALUES name list (LocalRelation — no parallelize job)."""
+    return spark.sql(
+        "SELECT name FROM VALUES %s AS t(name)"
+        % ",".join("('%s')" % n.replace("'", "''") for n in names)
+    )
+
+
 def facet_query(
     tables,
     query: str,
@@ -243,46 +360,117 @@ def facet_query(
     BOTH the main query and the sub-query. Returns ``(name, count)``
     ordered by name.
 
-    Scale shape (single-pass, r5 VERDICT #4): the main match set is
-    computed once (doc_id only); every named bucket's match set is
-    tagged with its name and unioned, then ONE semi-join against the
-    main set + ONE partial-aggregated groupBy(name) counts all buckets
-    together — B buckets for the price of one scan of the match set,
-    instead of B separate semi-join + 1-row-count passes. Missing
-    buckets zero-fill from the driver-built name list (query-parameter-
-    sized). Nothing doc-sized leaves the cluster."""
-    from oni_indexer_spark.query.bm25 import searcher_for
+    Scale shape (fused single-pass, r5 VERDICT #4): counts need only
+    per-doc term-PRESENCE, never scores — so the union of all involved
+    terms' postings is decoded ONCE (bucket/tid-pruned scan → one
+    block_id repartition, the bm25 scorer shape) and a numpy presence-
+    mask pass counts every bucket inside the worker; each partition
+    emits B partial counts, one tiny groupBy(name) sums them, and
+    missing buckets zero-fill from the driver-built name list. Nothing
+    doc-sized ever leaves the workers — vs the previous formulation's
+    per-clause |match set|-sized outputs + semi-joins (measured 1M:
+    4.6s r5 → see OPTIMIZATION_r06.md). The join formulation remains
+    for the uncompressed debug layout."""
+    from oni_indexer_spark.analyzer import query_terms
+    from oni_indexer_spark.hashing import xxhash64_str
+    from oni_indexer_spark.query.bm25 import (
+        _buckets_for,
+        _scorer_nparts,
+        searcher_for,
+    )
     from oni_indexer_spark.query.paging import _full_scores
 
     s = searcher_for(tables)
     spark = tables.doclen.sparkSession
     names = sorted(named)
-    names_df = spark.createDataFrame([(n,) for n in names], "name string")
+    if not names:
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS name, CAST(NULL AS BIGINT) AS count "
+            "WHERE 1=0"
+        )
+    names_df = _names_df(spark, names)
     zero = names_df.select(
         "name", F.lit(0).cast("long").alias("count")
     ).orderBy(F.asc("name"))
-    if not names:
+    cfg = tables.cfg
+
+    if not cfg.compress:
+        # legacy join formulation over the uncompressed plist layout
+        base = _full_scores(s, query, mode, None, 0)
+        if base is None:
+            return zero
+        tagged = []
+        for name in names:
+            sub = _full_scores(s, named[name], sub_mode, None, 0)
+            if sub is not None:
+                tagged.append(sub.select(F.lit(name).alias("name"), "doc_id"))
+        if not tagged:
+            return zero
+        union = tagged[0]
+        for t in tagged[1:]:
+            union = union.unionByName(t)
+        counts = (
+            union.join(base.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("name")
+            .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        )
+        return (
+            names_df.join(F.broadcast(counts), "name", "left")
+            .select(
+                "name",
+                F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"),
+            )
+            .orderBy(F.asc("name"))
+        )
+
+    s._check_external_staleness()
+    main_terms = query_terms(query, cfg.analyzer)
+    main_dfs = s.term_dfs(main_terms) if main_terms else {}
+    if not main_dfs or (mode == "and" and len(main_dfs) < len(main_terms)):
         return zero
-    base = _full_scores(s, query, mode, None, 0)
-    if base is None:
-        return zero
-    tagged = []
+    # mode="or": absent terms contribute nothing; "and": all present
+    main_present = [t for t in main_terms if t in main_dfs]
+    buckets: list[tuple[str, list[int], bool]] = []
+    scan_terms: set[str] = set(main_present)
     for name in names:
-        sub = _full_scores(s, named[name], sub_mode, None, 0)
-        if sub is not None:
-            tagged.append(sub.select(F.lit(name).alias("name"), "doc_id"))
-    if not tagged:
+        ts = query_terms(named[name], cfg.analyzer)
+        ds = s.term_dfs(ts) if ts else {}
+        if not ds or (sub_mode == "and" and len(ds) < len(ts)):
+            continue  # bucket count 0 via the zero-fill
+        present = [t for t in ts if t in ds]
+        buckets.append(
+            (name, [xxhash64_str(t) for t in present], sub_mode == "and")
+        )
+        scan_terms.update(present)
+    if not buckets:
         return zero
-    union = tagged[0]
-    for t in tagged[1:]:
-        union = union.unionByName(t)
-    counts = (
-        union.join(base.select("doc_id"), "doc_id", "left_semi")
-        .groupBy("name")
-        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    terms = sorted(scan_terms)
+    est = sum(s.term_dfs(terms).values())
+    pos_cols = ["n"] if cfg.positions else []
+    p = tables.postings.where(
+        F.col("bucket").isin(_buckets_for(tables, terms))
+        & F.col("tid").isin([xxhash64_str(t) for t in terms])
+    ).select("tid", "block_id", "block_min_dl", *pos_cols, "blob")
+    co = p.repartition(
+        _scorer_nparts(spark, est), F.col("block_id")
+    ).sortWithinPartitions("block_id")
+    partials = co.mapInArrow(
+        _make_facet_count_arrow(
+            cfg.block_size,
+            [xxhash64_str(t) for t in main_present],
+            mode == "and",
+            buckets,
+            positions=cfg.positions,
+        ),
+        "name string, count long",
+    )
+    counts = partials.groupBy("name").agg(
+        F.sum("count").cast("long").alias("count")
     )
     return (
         names_df.join(F.broadcast(counts), "name", "left")
-        .select("name", F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"))
+        .select(
+            "name", F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count")
+        )
         .orderBy(F.asc("name"))
     )

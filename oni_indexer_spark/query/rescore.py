@@ -100,13 +100,28 @@ def rerank_topk(
     if not base_rows:
         return _empty_result(tables)
     spark = tables.doclen.sparkSession
-    base = spark.createDataFrame(base_rows, "doc_id long, base_score double")
+    # literal VALUES (LocalRelation) — no parallelize job; base_score
+    # doubles round-trip exactly through repr + CAST(string AS DOUBLE)
+    base = spark.sql(
+        "SELECT doc_id, base_score FROM VALUES %s AS t(doc_id, base_score)"
+        % ",".join(
+            "(CAST(%d AS BIGINT), CAST('%r' AS DOUBLE))"
+            % (r["doc_id"], r["base_score"])
+            for r in base_rows
+        )
+    )
     import numpy as np
 
     ids = np.sort(np.array([r["doc_id"] for r in base_rows], dtype=np.int64))
     allowed_bc = spark.sparkContext.broadcast(ids)
     blocks = sorted({int(i) // tables.cfg.block_size for i in ids})
-    block_filter = spark.createDataFrame([(b,) for b in blocks], "block_id long")
+    # literal VALUES, not createDataFrame: the latter parallelizes over
+    # defaultParallelism slices and the broadcast build becomes a
+    # 32-task job; a LocalRelation builds the broadcast driver-side
+    block_filter = spark.sql(
+        "SELECT block_id FROM VALUES %s AS t(block_id)"
+        % ",".join("(%d)" % b for b in blocks)
+    )
     rr = _full_scores(
         s, rerank_query, rerank_mode, None, 0,
         allowed_bc=allowed_bc, block_filter=block_filter,

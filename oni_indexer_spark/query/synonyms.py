@@ -226,7 +226,11 @@ def synonym_topk(
         & F.col("tid").isin(tids)
     ).select("tid", "block_id", "block_min_dl", *pos_cols, "blob")
     spark = p.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # scale-adaptive fan-out, same rule as bm25._scores (Σ df over the
+    # scanned terms bounds the decoded volume)
+    from oni_indexer_spark.query.bm25 import _scorer_nparts
+
+    nparts = _scorer_nparts(spark, sum(dfs[t] for t in scan_terms))
     co = p.repartition(nparts, F.col("block_id")).sortWithinPartitions("block_id")
     scored = co.mapInArrow(
         _make_decode_synonym_group_arrow(
