@@ -342,7 +342,10 @@ def _names_df(spark, names: list[str]) -> DataFrame:
     """Literal VALUES name list (LocalRelation — no parallelize job)."""
     return spark.sql(
         "SELECT name FROM VALUES %s AS t(name)"
-        % ",".join("('%s')" % n.replace("'", "''") for n in names)
+        % ",".join(
+            "('%s')" % n.replace("\\", "\\\\").replace("'", "\\'")
+            for n in names
+        )
     )
 
 

@@ -360,3 +360,29 @@ def test_facet_query_zero_and_unmatched_buckets(ptab):
     assert got == exp
     d = dict(got)
     assert d["none"] == 0 and d["empty"] == 0 and d["all"] > 0
+
+
+def test_facet_query_mode_combinations_match_oracle(ptab):
+    # r6 fused presence-mask kernel: pin every main/sub mode combination
+    # against the oracle, including a partially-missing OR bucket (the
+    # absent term must contribute nothing, not zero the bucket)
+    from oni_indexer_spark.oracle import facet_query_sql
+    from oni_indexer_spark.query.facets import facet_query
+
+    named = {
+        "pair_a": "hash join",
+        "partial_or": "merge qqqzzznotaterm",
+        "and_missing": "scan qqqzzznotaterm",
+    }
+    for mode in ("or", "and"):
+        for sub_mode in ("or", "and"):
+            got = [
+                tuple(r)
+                for r in facet_query(
+                    ptab, "the scan", named, mode=mode, sub_mode=sub_mode
+                ).collect()
+            ]
+            exp = _oracle_rows_raw(
+                facet_query_sql("the scan", named, mode=mode, sub_mode=sub_mode)
+            )
+            assert got == exp, (mode, sub_mode)
