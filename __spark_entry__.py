@@ -1175,7 +1175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot_lang_repo": _q_facet_pivot,
         "facet_query_named": _q_facet_query,
         "doclen_sha256": _q_doclen,
-        "facet_repo": _q_facet_repo,
+        # r6 rotation (r5 VERDICT #3): phrase x fq composition — the only
+        # registry entry never driver-verified (it pins the r5-late fix
+        # where phrase mode ignored fq) — takes facet_repo's window slot;
+        # facet_repo (green r1-r5, rotated to the tail below) gives up
+        # its slot; the facet family keeps six sibling in-window rows
+        "bm25_phrase_fq": _q_bm25(
+            "hash join", k=10, mode="phrase", fq={"lang": "en"}, positions=True
+        ),
         # NEW r5 (late): cross-doc duplicated-substring removal
         # (Lee et al. 2022 exact-substring dedup, suffix-array-free);
         # takes dedup_exact's window slot — exact dedup is green r1-r4
@@ -1203,12 +1210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "copyfield_main_search": _q_copyfield,
         "text_subword_count": _q_subword,
-        # phrase x fq composition (r5 late fix: phrase mode previously
-        # ignored fq; now composes like OR/AND — parameter variant,
-        # pytest-oracled at the tail)
-        "bm25_phrase_fq": _q_bm25(
-            "hash join", k=10, mode="phrase", fq={"lang": "en"}, positions=True
-        ),
+        # facet_repo rotated out for bm25_phrase_fq (r6): green r1-r5,
+        # corpus-facet form stays in-window via facet_pivot_lang_repo +
+        # the query-facet family
+        "facet_repo": _q_facet_repo,
         # ---- tail: parameter variants / rows already driver-green in a
         # prior round's CORRECTNESS file — all stay DuckDB-oracled in
         # pytest (corpus_stats is implicit in every bm25 row;
