@@ -556,12 +556,18 @@ def build_to_path(
         ]
     else:
         tf_staged = _tf_table(docs, cfg).persist()
+        # Eager cache fill: ONE action materializes the tokenize into the
+        # cache before the concurrent consumers below fan out, so neither
+        # doclen nor postings races the regex scan (block-level locks
+        # would serialize a race anyway — this keeps the fill a single
+        # clean job and every consumer a pure cache read).
+        tf_staged.count()
         groups = [list(range(cfg.n_buckets))]  # one pass; cache is shared
 
-    if not (resume and lin.is_done("doclen")):
-        t0 = lin.start("doclen")
-        from pyspark.sql import Observation
+    from pyspark.sql import Observation
 
+    def _doclen_stage() -> None:
+        t0 = lin.start("doclen")
         obs = Observation("doclen_stats")
         # No range repartition: it costs a sampling job + a full shuffle,
         # and input partitions are already doc_id-ordered in practice, so
@@ -571,10 +577,10 @@ def build_to_path(
         # BOTH modes: dl derives from the staged tf table — the content
         # scan computes only sha256 + metadata, so the regex tokenize
         # runs ONCE per build (disk mode: over 100 TB; cache mode: the
-        # doclen write doubles as the tf cache fill). r6 re-measure at
-        # 50k docs: from-tf doclen 1.4-1.6s vs direct re-tokenize
-        # 1.7-2.1s, and the tokenize pass the direct path re-ran is
-        # gone from the postings stage entirely.
+        # fill above). r6 re-measure at 50k docs: from-tf doclen
+        # 1.4-1.6s vs direct re-tokenize 1.7-2.1s, and the tokenize pass
+        # the direct path re-ran is gone from the postings stage
+        # entirely.
         doclen_src = _doclen_from_tf(docs, tf_staged, cfg)
         doclen = doclen_src.observe(
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
@@ -586,38 +592,8 @@ def build_to_path(
             f"{path}/stats"
         )
         lin.finish("doclen", t0, docs_tokenized=n_docs)
-    for group in groups:
-        stage = f"postings_g{group[0]:04d}"
-        if resume and lin.is_done(stage):
-            continue
-        t0 = lin.start(stage)
-        from pyspark.sql import Observation
 
-        tf_g = tf_staged.where(F.col("bucket").isin(group))
-        pobs = Observation(f"postings_metrics_{stage}")
-        size_metric = (
-            F.sum(F.length("blob")) if cfg.compress else F.lit(0).cast("long")
-        )
-        # No repartition-by-bucket before the write: that made ONE task
-        # per bucket and head-term buckets are heavy (measured: postings
-        # stage nearly thread-count-independent). The sort-based encoder
-        # emits rows already sorted by (term, block_id) within each
-        # hash-spread partition; partitionBy(bucket) still routes rows
-        # into bucket directories, at the cost of more files per bucket.
-        blocks = _postings_blocks(tf_g, cfg).observe(
-            pobs, F.sum("n").alias("np"), size_metric.alias("nb")
-        )
-        # Dynamic partition overwrite (per-write option — never leaks into
-        # the caller's session conf): each bucket-group's write replaces
-        # only its own bucket=... directories, so a resumed build never
-        # clobbers completed groups and a re-run of a half-written group
-        # is idempotent.
-        (
-            blocks.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket", "seg")
-            .parquet(f"{path}/postings")
-        )
+    def _dfreq_write(tf_g: DataFrame) -> None:
         (
             # sortWithinPartitions("term"): dfreq files carry tight
             # parquet min/max term stats, so prefix/fuzzy dictionary
@@ -635,15 +611,98 @@ def build_to_path(
             .partitionBy("bucket")
             .parquet(f"{path}/dfreq")
         )
-        lin.finish(
-            stage,
-            t0,
-            postings_emitted=int(pobs.get["np"] or 0),
-            bytes_compressed=int(pobs.get["nb"] or 0),
+
+    # Overlap independent jobs (guide §2.6): after the tf table is
+    # materialized, doclen+stats, the postings encode and the dfreq
+    # write are INDEPENDENT consumers of it (distinct output dirs,
+    # per-stage lineage files) — actions were only sequential because
+    # the driver called them sequentially. doclen runs in a sibling
+    # thread across the group loop; each group's dfreq write overlaps
+    # its (heavier) postings write; tid_check (needs only dfreq) runs
+    # before joining doclen. Serial path measured at 50k docs: fill 0.9
+    # + doclen 0.9 + postings 1.2 + dfreq 0.7 + tid_check 0.35 ≈ 4.2s;
+    # overlapped ≈ fill + max(legs). 2-3 jobs in flight — enough to
+    # back-fill each job's straggler tail, not enough to thrash. Py4j
+    # and Hadoop FileSystem are thread-safe; lineage is one file per
+    # stage; failures re-raise on .result() below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        doclen_fut = (
+            pool.submit(_doclen_stage)
+            if not (resume and lin.is_done("doclen"))
+            else None
         )
+        try:
+            for group in groups:
+                stage = f"postings_g{group[0]:04d}"
+                if resume and lin.is_done(stage):
+                    continue
+                t0 = lin.start(stage)
+                tf_g = tf_staged.where(F.col("bucket").isin(group))
+                pobs = Observation(f"postings_metrics_{stage}")
+                size_metric = (
+                    F.sum(F.length("blob")) if cfg.compress else F.lit(0).cast("long")
+                )
+                # No repartition-by-bucket before the write: that made ONE
+                # task per bucket and head-term buckets are heavy
+                # (measured: postings stage nearly thread-count-
+                # independent). The sort-based encoder emits rows already
+                # sorted by (term, block_id) within each hash-spread
+                # partition; partitionBy(bucket) still routes rows into
+                # bucket directories, at the cost of more files per
+                # bucket.
+                blocks = _postings_blocks(tf_g, cfg).observe(
+                    pobs, F.sum("n").alias("np"), size_metric.alias("nb")
+                )
+                dfreq_fut = pool.submit(_dfreq_write, tf_g)
+                # Dynamic partition overwrite (per-write option — never
+                # leaks into the caller's session conf): each bucket-
+                # group's write replaces only its own bucket=...
+                # directories, so a resumed build never clobbers completed
+                # groups and a re-run of a half-written group is
+                # idempotent.
+                (
+                    blocks.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket", "seg")
+                    .parquet(f"{path}/postings")
+                )
+                # the group's lineage record covers BOTH writes — resume
+                # re-runs postings+dfreq together, exactly as before
+                dfreq_fut.result()
+                lin.finish(
+                    stage,
+                    t0,
+                    postings_emitted=int(pobs.get["np"] or 0),
+                    bytes_compressed=int(pobs.get["nb"] or 0),
+                )
+            _tid_check(spark, lin, path, resume)
+        finally:
+            # join doclen even on a postings failure so the pool never
+            # leaks a running stage past the raise
+            if doclen_fut is not None:
+                doclen_fut.result()
 
     if stage_mode != "disk":
         tf_staged.unpersist()
+    lin.write_meta(
+        {
+            "format": (
+                POSITIONS_FORMAT_VERSION if cfg.positions else INDEX_FORMAT_VERSION
+            ),
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "block_size": cfg.block_size,
+            "n_buckets": cfg.n_buckets,
+            "seg_blocks": cfg.seg_blocks,
+            "analyzer": cfg.analyzer,
+            "compress": cfg.compress,
+        }
+    )
+
+
+def _tid_check(spark: SparkSession, lin, path: str, resume: bool) -> None:
     if not (resume and lin.is_done("tid_check")):
         # Postings are keyed by tid = xxhash64(term); dfreq keeps the
         # exact strings. Verify injectivity over THIS corpus's vocabulary
@@ -663,20 +722,6 @@ def build_to_path(
                 f"xxhash64 term-id collision: {row['nt']} terms -> {row['nh']} tids"
             )
         lin.finish("tid_check", t0, terms=int(row["nt"]))
-    lin.write_meta(
-        {
-            "format": (
-                POSITIONS_FORMAT_VERSION if cfg.positions else INDEX_FORMAT_VERSION
-            ),
-            "k1": cfg.k1,
-            "b": cfg.b,
-            "block_size": cfg.block_size,
-            "n_buckets": cfg.n_buckets,
-            "seg_blocks": cfg.seg_blocks,
-            "analyzer": cfg.analyzer,
-            "compress": cfg.compress,
-        }
-    )
 
 
 def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None) -> None:
@@ -713,21 +758,43 @@ def append_to_index(docs_new: DataFrame, path: str, batch_id: str | None = None)
 
     # one tokenize pass per batch: tf is persisted and doclen's dl,
     # postings and dfreq all derive from it (unmaterialized, each of the
-    # three consumers would re-run the regex scan)
+    # three consumers would re-run the regex scan); the fill is ONE
+    # eager action so the concurrent consumers below read the cache
     tf = _tf_table(docs_new, cfg).persist()
-    obs = Observation(f"append_stats_{stage}")
-    doclen = _doclen_from_tf(docs_new, tf, cfg).observe(
-        obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
-    doclen.write.mode("append").partitionBy("seg").parquet(f"{path}/doclen")
-    n_docs = int(obs.get["n"])
-    _stats_df(spark, [(n_docs, float(obs.get["avgdl"] or 0.0))]).write.mode(
-        "append"
-    ).parquet(f"{path}/stats")
+    tf.count()
 
-    blocks = _postings_blocks(tf, cfg)
-    blocks.write.mode("append").partitionBy("bucket", "seg").parquet(f"{path}/postings")
-    _dfreq_table(tf).write.mode("append").partitionBy("bucket").parquet(f"{path}/dfreq")
+    def _doclen_leg() -> int:
+        obs = Observation(f"append_stats_{stage}")
+        doclen = _doclen_from_tf(docs_new, tf, cfg).observe(
+            obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        )
+        doclen.write.mode("append").partitionBy("seg").parquet(f"{path}/doclen")
+        n = int(obs.get["n"])
+        _stats_df(spark, [(n, float(obs.get["avgdl"] or 0.0))]).write.mode(
+            "append"
+        ).parquet(f"{path}/stats")
+        return n
+
+    def _dfreq_leg() -> None:
+        _dfreq_table(tf).write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/dfreq"
+        )
+
+    # overlap the three independent consumers (guide §2.6, same shape as
+    # build_to_path): doclen+stats and dfreq in sibling threads, the
+    # (heavier) postings encode on this one; distinct output dirs, one
+    # lineage record for the whole batch (finish only after ALL legs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        doclen_fut = pool.submit(_doclen_leg)
+        dfreq_fut = pool.submit(_dfreq_leg)
+        blocks = _postings_blocks(tf, cfg)
+        blocks.write.mode("append").partitionBy("bucket", "seg").parquet(
+            f"{path}/postings"
+        )
+        dfreq_fut.result()
+        n_docs = doclen_fut.result()
     tf.unpersist()
     lin.finish(stage, t0, docs_tokenized=n_docs)
     lin.bump_generation()

@@ -75,6 +75,36 @@ def test_resume_completes_partial_build(spark, docs, tmp_path):
     assert _rows(topk(disk, "hash join", k=10)) == _rows(topk(mem, "hash join", k=10))
 
 
+def test_overlapped_build_cache_mode_complete_and_equal(spark, docs, tmp_path):
+    """The r6 overlapped build (doclen ∥ postings ∥ dfreq from one
+    materialized tf — guide §2.6) must leave a complete lineage and an
+    index identical to the in-memory build, in cache mode (the driver
+    bench path)."""
+    p = str(tmp_path / "idx_cache")
+    build_to_path(docs, p, CFG, bucket_group_size=8, stage_mode="cache")
+    recs = {r["stage"]: r for r in Lineage(spark, p).records()}
+    for stage in ("doclen", "postings_g0000", "tid_check"):
+        assert recs[stage]["status"] == "done", stage
+    disk = read_index(spark, p)
+    mem = build_index(docs, CFG)
+    for q in ["the", "hash join", "scan merge window"]:
+        assert _rows(topk(disk, q, k=10)) == _rows(topk(mem, q, k=10))
+
+
+def test_overlapped_build_propagates_thread_failure(spark, docs, tmp_path, monkeypatch):
+    """A failure in the concurrent doclen stage must fail the build (not
+    be swallowed by the worker thread)."""
+    import oni_indexer_spark.index.build as B
+
+    def boom(*a, **kw):
+        raise RuntimeError("doclen boom")
+
+    monkeypatch.setattr(B, "_doclen_from_tf", boom)
+    p = str(tmp_path / "idx_fail")
+    with pytest.raises(RuntimeError, match="doclen boom"):
+        build_to_path(docs, p, CFG, bucket_group_size=8, stage_mode="cache")
+
+
 def test_bucket_pruning_in_plan(spark, index_path):
     """A single-term query must push the bucket partition filter into the
     postings scan (directory pruning — the 100 TB story)."""
