@@ -877,13 +877,19 @@ def overwrite_docs(
     ).collect()[0]
     n_removed, avgdl_removed = int(rem["n"]), float(rem["avgdl"] or 0.0)
 
+    # decoded/tokenized ONCE, consumed twice each (guide §1.2): without
+    # the persists the dfreq and postings .next writes re-ran the full
+    # blob decode of the affected segs AND the tokenize of the new docs;
+    # bounded by the affected segs / the overwrite batch respectively.
+    from pyspark import StorageLevel
+
     post_seg = spark.read.parquet(f"{path}/postings").where(F.col("seg").isin(segs))
-    old_rows = _decoded(post_seg, cfg)
+    old_rows = _decoded(post_seg, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     survivors = old_rows.join(changed, "doc_id", "left_anti")
     killed = old_rows.join(changed, "doc_id", "left_semi")
 
     # --- dfreq: exact decrement/increment, staged then swapped
-    tf_new = _tf_table(docs_new, cfg)
+    tf_new = _tf_table(docs_new, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     dec = killed.groupBy("tid").agg(
         F.count(F.lit(1)).alias("df_dec"), F.sum("tf").alias("cf_dec")
     )
@@ -935,19 +941,29 @@ def overwrite_docs(
     blocks.write.mode("overwrite").partitionBy("bucket", "seg").parquet(
         f"{path}/postings.next"
     )
+    old_rows.unpersist()
     keep_cols = list(doclen_seg.columns)
+    # new docs' doclen: dl from the PERSISTED tf (no third tokenize —
+    # same derivation the build uses), and the write carries an
+    # Observation so the stats row no longer re-runs _doclen_table
+    from pyspark.sql import Observation
+
+    nobs = Observation(f"overwrite_new_stats_{stage}")
+    new_doclen = (
+        _doclen_from_tf(docs_new, tf_new, cfg)
+        .select(*keep_cols)
+        .observe(nobs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    )
     doclen_merged = doclen_seg.join(changed, "doc_id", "left_anti").unionByName(
-        _doclen_table(docs_new, cfg).select(*keep_cols)
+        new_doclen
     )
     doclen_merged.write.mode("overwrite").partitionBy("seg").parquet(
         f"{path}/doclen.next"
     )
+    tf_new.unpersist()
 
     # --- stats correction rows (staged; appended to stats/ by the swap)
-    new_stats = _doclen_table(docs_new, cfg).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    rows = [(int(new_stats["n"]), float(new_stats["avgdl"] or 0.0))]
+    rows = [(int(nobs.get["n"]), float(nobs.get["avgdl"] or 0.0))]
     if n_removed:
         rows.append((-n_removed, avgdl_removed))
     _stats_df(spark, rows).write.mode("overwrite").parquet(f"{path}/stats.next")
@@ -1041,8 +1057,16 @@ def delete_docs(
         .collect()
     ]
 
+    # decoded ONCE, consumed twice (dfreq decrement via `killed`, postings
+    # re-encode via `survivors`): without the persist each .next write
+    # re-ran the full blob decode of the affected segs — the delete's
+    # dominant cost (guide §1.2: don't compute things you throw away).
+    # MEMORY_AND_DISK: bounded by the affected segs (the same bound as
+    # the write amplification), spills instead of OOMing on a huge seg.
+    from pyspark import StorageLevel
+
     post_seg = spark.read.parquet(f"{path}/postings").where(F.col("seg").isin(segs))
-    old_rows = _decoded(post_seg, cfg)
+    old_rows = _decoded(post_seg, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     survivors = old_rows.join(changed, "doc_id", "left_anti")
     killed = old_rows.join(changed, "doc_id", "left_semi")
 
@@ -1074,6 +1098,7 @@ def delete_docs(
     blocks.write.mode("overwrite").partitionBy("bucket", "seg").parquet(
         f"{path}/postings.next"
     )
+    old_rows.unpersist()
     doclen_seg = doclen_all.where(F.col("seg").isin(segs))
     doclen_seg.join(changed, "doc_id", "left_anti").write.mode(
         "overwrite"
