@@ -610,15 +610,33 @@ def _buckets_for(tables: IndexTables, terms: list[str]) -> list[int]:
     return sorted({term_bucket_py(t, tables.cfg.n_buckets) for t in terms})
 
 
+_EMPTY_SQL_TYPES = {
+    "int": "INT",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "string": "STRING",
+}
+
+
+def _empty_literal(spark, schema: str) -> DataFrame:
+    """Empty DataFrame with the given simple DDL schema as a literal
+    LocalRelation — NOT ``createDataFrame([], ddl)``: the latter
+    parallelizes defaultParallelism empty slices, so every collect of an
+    empty result ran a 32-task job (measured 0.3s at local[32] — the
+    entire cost of a zero-result query); this folds to an empty
+    LocalRelation and collects driver-only (~10ms). Used by every
+    zero-result fallback across the query surface."""
+    cols = []
+    for field in schema.split(","):
+        name, typ = field.strip().split()
+        cols.append(f"CAST(NULL AS {_EMPTY_SQL_TYPES[typ.lower()]}) AS {name}")
+    return spark.sql("SELECT " + ", ".join(cols) + " WHERE 1=0")
+
+
 def _empty_result(tables: IndexTables) -> DataFrame:
-    # literal empty relation, NOT createDataFrame([]): the latter
-    # parallelizes defaultParallelism empty slices, so every collect of
-    # an empty result ran a 32-task job (measured 0.3s at local[32] —
-    # the entire cost of a zero-result query); this folds to an empty
-    # LocalRelation and collects driver-only (~10ms)
-    return tables.postings.sparkSession.sql(
-        "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS BIGINT) AS doc_id, "
-        "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    return _empty_literal(
+        tables.postings.sparkSession, "rank int, doc_id long, score double"
     )
 
 
@@ -1990,7 +2008,7 @@ def topk_direct(
     terms = query_terms(query, analyzer)
     spark = docs.sparkSession
     if not terms:
-        return spark.createDataFrame([], "rank int, doc_id long, score double")
+        return _empty_literal(spark, "rank int, doc_id long, score double")
     # Solr fq semantics: corpus stats (N, avgdl, df) are global; the
     # filter only restricts which docs may appear in the result.
     base = docs

@@ -137,7 +137,9 @@ def query_facet_counts(
     scored = _full_scores(s, query, mode, fq, 0)
     spark = tables.doclen.sparkSession
     if scored is None:
-        return spark.createDataFrame([], "value string, count long")
+        from oni_indexer_spark.query.bm25 import _empty_literal
+
+        return _empty_literal(spark, "value string, count long")
     matched = tables.doclen.join(
         scored.select("doc_id"), "doc_id", "left_semi"
     )

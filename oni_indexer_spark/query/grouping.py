@@ -53,8 +53,10 @@ def group_topk(
     s = searcher_for(tables)
     scored = _full_scores(s, query, mode, fq, slop)
     if scored is None:
-        return tables.doclen.sparkSession.createDataFrame(
-            [],
+        from oni_indexer_spark.query.bm25 import _empty_literal
+
+        return _empty_literal(
+            tables.doclen.sparkSession,
             "grp_rank int, grp string, rank int, doc_id long, score double",
         )
     scored = scored.join(

@@ -35,7 +35,9 @@ def suggest(tables: IndexTables, prefix: str, count: int = 10) -> DataFrame:
 
     toks = analyzer_tokenize_py(prefix, tables.cfg.analyzer)
     if not toks:
-        return tables.dfreq.sparkSession.createDataFrame([], "term string, df long")
+        from oni_indexer_spark.query.bm25 import _empty_literal
+
+        return _empty_literal(tables.dfreq.sparkSession, "term string, df long")
     return (
         tables.dfreq.where(F.col("term").startswith(toks[0]))
         .groupBy("term")
@@ -59,8 +61,10 @@ def spellcheck(
 
     toks = analyzer_tokenize_py(term, tables.cfg.analyzer)
     if not toks:
-        return tables.dfreq.sparkSession.createDataFrame(
-            [], "term string, df long, ed int"
+        from oni_indexer_spark.query.bm25 import _empty_literal
+
+        return _empty_literal(
+            tables.dfreq.sparkSession, "term string, df long, ed int"
         )
     q = toks[0]
     n = len(q)
