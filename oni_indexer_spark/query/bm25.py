@@ -659,12 +659,61 @@ SINGLE_TERM_REPARTITION_MIN_POSTINGS = 200_000
 # scale-adaptive, not tuned to either local mode or the cluster).
 SCORER_POSTINGS_PER_PARTITION = 65_536
 
+# Shuffle-free co-location crossover (guide §2.4 "remove shuffles
+# outright"): when Σ df fits one scorer partition anyway (the derived
+# width is 1), the block_id exchange buys nothing — the decode was
+# already serial in its single reduce task — so a coalesce(1) feeds the
+# kernel the identical single sorted partition while removing the
+# exchange and its extra AQE stage job (~0.05-0.15s of pure scheduling
+# on the measured host; interleaved A/B at 5k docs: multi-term medians
+# -7-20%). A HIGHER crossover was measured and rejected: at 262k the
+# coalesce also serialized decodes the old path ran 2-4-wide, and 50k-doc
+# 3-4-term queries regressed ~20%. Gated ALSO on the scan side (postings
+# resident in the touched buckets, estimated driver-side as
+# n_docs*avgdl*buckets_touched/n_buckets): coalesce(1) collapses the
+# parquet scan to one task, which must stay cheap — a rare term in a
+# huge corpus keeps the parallel-scan + exchange path.
+SCORER_COALESCE_MAX_POSTINGS = 65_536
+SCORER_COALESCE_MAX_SCAN_POSTINGS = 2_000_000
+
 
 def _scorer_nparts(spark, est_postings: int | None) -> int:
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     if est_postings is None:
         return conf_parts
     return max(1, min(conf_parts, -(-int(est_postings) // SCORER_POSTINGS_PER_PARTITION)))
+
+
+def _colocate_blocks(
+    sel: DataFrame,
+    est_postings: int | None,
+    scan_est: int | None,
+    nparts: int | None = None,
+) -> DataFrame:
+    """Arrange the compressed block rows so every doc-range block's rows
+    for all query terms are contiguous (sorted) within one partition —
+    the input contract of every block-aligned scorer kernel. Two plans:
+
+    - tiny queries over small scans (both gates above): ``coalesce(1)``
+      + sort — NO exchange; the kernels already tolerate a block split
+      across Arrow batches (carry-over), and one partition trivially
+      co-locates, so this is input-identical to the shuffle plan while
+      running the whole query as ONE job instead of two AQE stage jobs.
+    - everything else: hash-repartition by block_id at the scale-adaptive
+      width (see ``_scorer_nparts``; explicit ``nparts`` overrides, e.g.
+      the block-max pruner's ≤k-block candidate pass).
+    """
+    if (
+        nparts is None
+        and est_postings is not None
+        and est_postings <= SCORER_COALESCE_MAX_POSTINGS
+        and scan_est is not None
+        and scan_est <= SCORER_COALESCE_MAX_SCAN_POSTINGS
+    ):
+        return sel.coalesce(1).sortWithinPartitions("block_id")
+    if nparts is None:
+        nparts = _scorer_nparts(sel.sparkSession, est_postings)
+    return sel.repartition(nparts, F.col("block_id")).sortWithinPartitions("block_id")
 
 
 def _scores(
@@ -679,6 +728,7 @@ def _scores(
     est_postings: int | None = None,
     nparts: int | None = None,
     allowed_bc=None,
+    scan_est: int | None = None,
 ) -> DataFrame:
     """Exact (doc_id, score) for every doc present in the postings subset.
     ``idf`` is keyed by tid (the postings key). ``k`` (when given)
@@ -732,14 +782,12 @@ def _scores(
         # from Σ df (SCORER_POSTINGS_PER_PARTITION) so small corpora
         # don't pay 32 near-empty reduce tasks of pure scheduling and
         # large ones still fan the decode across the cores.
-        spark = postings_subset.sparkSession
-        if nparts is None:
-            nparts = _scorer_nparts(spark, est_postings)
         pos_cols = ["n"] if cfg.positions else []
-        co = (
-            postings_subset.select("tid", "block_id", "block_min_dl", *pos_cols, "blob")
-            .repartition(nparts, F.col("block_id"))
-            .sortWithinPartitions("block_id")
+        co = _colocate_blocks(
+            postings_subset.select("tid", "block_id", "block_min_dl", *pos_cols, "blob"),
+            est_postings,
+            scan_est,
+            nparts=nparts,
         )
         scored = co.mapInArrow(
             _make_decode_score_group_arrow(
@@ -1058,6 +1106,9 @@ class Searcher:
             F.col("bucket").isin(buckets) & F.col("tid").isin(list(idf))
         )
         est = sum(dfs.values())
+        # upper estimate of postings RESIDENT in the touched buckets
+        # (avgdl ≥ distinct terms per doc) — the coalesce scan gate
+        scan_est = int(n_docs * avgdl * len(buckets) / tables.cfg.n_buckets)
         if mode == "and":
             p = self._rare_block_prefilter(p, dfs, n_docs)
         if prune == "auto":
@@ -1076,7 +1127,7 @@ class Searcher:
             p, floor = _blockmax_prune(p, tables, idf, avgdl, k_eff)
         scored = _scores(
             p, tables, idf, avgdl, mode, fq, k=k_eff, floor=floor,
-            est_postings=est, allowed_bc=allowed_bc,
+            est_postings=est, allowed_bc=allowed_bc, scan_est=scan_est,
         )
         if exclude_doc_id is not None:
             scored = scored.where(F.col("doc_id") != F.lit(exclude_doc_id))
@@ -1108,9 +1159,9 @@ class Searcher:
             * math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
             for t, d in dfs.items()
         }
+        clause_buckets = _buckets_for(tables, list(dfs))
         p = tables.postings.where(
-            F.col("bucket").isin(_buckets_for(tables, list(dfs)))
-            & F.col("tid").isin(list(idf))
+            F.col("bucket").isin(clause_buckets) & F.col("tid").isin(list(idf))
         )
         if mode == "and":
             p = self._rare_block_prefilter(p, dfs, n_docs)
@@ -1124,6 +1175,9 @@ class Searcher:
         return _scores(
             p, tables, idf, avgdl, mode, fq, k=None,
             est_postings=sum(dfs.values()), allowed_bc=allowed_bc,
+            scan_est=int(
+                n_docs * avgdl * len(clause_buckets) / tables.cfg.n_buckets
+            ),
         )
 
     def _expansion(
@@ -1715,14 +1769,12 @@ class Searcher:
         p = self._rare_block_prefilter(p, dfs, n_docs)
         if block_filter is not None:
             p = p.join(F.broadcast(block_filter), "block_id", "left_semi")
-        spark = p.sparkSession
-        # same scale-adaptive fan-out as _scores (Σ df of the phrase's
-        # distinct terms bounds the decoded volume)
-        nparts = _scorer_nparts(spark, sum(dfs.values()))
-        co = (
-            p.select("tid", "block_id", "block_min_dl", "n", "blob")
-            .repartition(nparts, F.col("block_id"))
-            .sortWithinPartitions("block_id")
+        # same scale-adaptive fan-out / shuffle-free crossover as _scores
+        # (Σ df of the phrase's distinct terms bounds the decoded volume)
+        co = _colocate_blocks(
+            p.select("tid", "block_id", "block_min_dl", "n", "blob"),
+            sum(dfs.values()),
+            int(n_docs * avgdl * len(buckets) / cfg.n_buckets),
         )
         scored = co.mapInArrow(
             _make_decode_phrase_group_arrow(

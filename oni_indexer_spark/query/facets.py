@@ -380,7 +380,7 @@ def facet_query(
     from oni_indexer_spark.hashing import xxhash64_str
     from oni_indexer_spark.query.bm25 import (
         _buckets_for,
-        _scorer_nparts,
+        _colocate_blocks,
         searcher_for,
     )
     from oni_indexer_spark.query.paging import _full_scores
@@ -452,13 +452,15 @@ def facet_query(
     terms = sorted(scan_terms)
     est = sum(s.term_dfs(terms).values())
     pos_cols = ["n"] if cfg.positions else []
+    fq_buckets = _buckets_for(tables, terms)
     p = tables.postings.where(
-        F.col("bucket").isin(_buckets_for(tables, terms))
+        F.col("bucket").isin(fq_buckets)
         & F.col("tid").isin([xxhash64_str(t) for t in terms])
     ).select("tid", "block_id", "block_min_dl", *pos_cols, "blob")
-    co = p.repartition(
-        _scorer_nparts(spark, est), F.col("block_id")
-    ).sortWithinPartitions("block_id")
+    n_docs, avgdl = s.stats()
+    co = _colocate_blocks(
+        p, est, int(n_docs * avgdl * len(fq_buckets) / cfg.n_buckets)
+    )
     partials = co.mapInArrow(
         _make_facet_count_arrow(
             cfg.block_size,

@@ -221,17 +221,19 @@ def synonym_topk(
 
     tids = [xxhash64_str(t) for t in scan_terms]
     pos_cols = ["n"] if cfg.positions else []
+    syn_buckets = _buckets_for(tables, scan_terms)
     p = tables.postings.where(
-        F.col("bucket").isin(_buckets_for(tables, scan_terms))
-        & F.col("tid").isin(tids)
+        F.col("bucket").isin(syn_buckets) & F.col("tid").isin(tids)
     ).select("tid", "block_id", "block_min_dl", *pos_cols, "blob")
-    spark = p.sparkSession
-    # scale-adaptive fan-out, same rule as bm25._scores (Σ df over the
-    # scanned terms bounds the decoded volume)
-    from oni_indexer_spark.query.bm25 import _scorer_nparts
+    # scale-adaptive fan-out / shuffle-free crossover, same rule as
+    # bm25._scores (Σ df over the scanned terms bounds the decoded volume)
+    from oni_indexer_spark.query.bm25 import _colocate_blocks
 
-    nparts = _scorer_nparts(spark, sum(dfs[t] for t in scan_terms))
-    co = p.repartition(nparts, F.col("block_id")).sortWithinPartitions("block_id")
+    co = _colocate_blocks(
+        p,
+        sum(dfs[t] for t in scan_terms),
+        int(n_docs * avgdl * len(syn_buckets) / cfg.n_buckets),
+    )
     scored = co.mapInArrow(
         _make_decode_synonym_group_arrow(
             cfg.block_size,

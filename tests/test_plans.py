@@ -42,11 +42,29 @@ def test_query_plan_shape(disk_index):
     assert "ReadSchema: struct<tid:bigint,block_id:bigint,block_min_dl:int,blob:binary>" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    # block-aligned multi-term path: the ONLY exchange is the repartition
-    # of the COMPRESSED block rows by block_id; per-doc totals are
+    # block-aligned multi-term path, tiny-query crossover (r6): below
+    # the coalesce gates the block_id exchange is replaced by a
+    # single-task Coalesce — ZERO shuffles; per-doc totals are
     # scatter-added inside the Arrow worker, so there is NO JVM hash
-    # aggregate and no decoded-row shuffle at all
+    # aggregate and no decoded-row shuffle either
+    assert plan.count("Exchange") == 0
+    assert "Coalesce 1" in plan
+    assert "HashAggregate" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_query_plan_shape_above_coalesce_gate(disk_index, monkeypatch):
+    """Above the coalesce crossover the multi-term path keeps its ONE
+    exchange of compressed block rows (the scale shape — forced here by
+    zeroing the gate)."""
+    from oni_indexer_spark.query import bm25
+
+    monkeypatch.setattr(bm25, "SCORER_COALESCE_MAX_POSTINGS", 0)
+    plan = _plan(topk(disk_index, "hash join", k=10, prune=False))
     assert plan.count("Exchange") == 1
+    # tiny fixture derives width 1 → SinglePartition; at scale the same
+    # exchange prints hashpartitioning(block_id, n)
+    assert "hashpartitioning(block_id" in plan or "SinglePartition" in plan
     assert "HashAggregate" not in plan
     assert "MapInArrow" in plan
 
@@ -208,16 +226,18 @@ def test_group_topk_single_group_shuffle(disk_index):
 
 
 def test_synonym_plan_shape(disk_index):
-    """SynonymQuery rides the same one-blob-shuffle plan as plain
-    multi-term: scan pruned by bucket dir + In(tid), ONE Exchange of
-    compressed block rows, scatter-add inside the Arrow worker, no JVM
-    aggregate. (_ranked adds its TakeOrdered on top.)"""
+    """SynonymQuery rides the same block-aligned plan as plain
+    multi-term: scan pruned by bucket dir + In(tid), scatter-add inside
+    the Arrow worker, no JVM aggregate; at this tiny scale the coalesce
+    crossover applies (no shuffle at all). (_ranked adds its TakeOrdered
+    on top.)"""
     from oni_indexer_spark.query.synonyms import synonym_topk
 
     plan = _plan(synonym_topk(disk_index, [["join", "merge"], "hash"], k=10))
     assert "PartitionFilters: [bucket" in plan
     assert "PushedFilters: [In(tid" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 0
+    assert "Coalesce 1" in plan
     assert "HashAggregate" not in plan
     assert "MapInArrow" in plan
